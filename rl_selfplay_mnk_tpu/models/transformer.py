@@ -1,0 +1,87 @@
+"""Board transformer actor-critic (reference
+src/alg/architectures/transformer.py:7-111).
+
+Per-cell 1x1-conv embedding (= Dense over channels), learned positional
+embedding, then L pre-norm encoder layers:
+
+    x = x + MHA(LN(x));  x = x + FFN(LN(x))   # FFN = Dense(4d)-ReLU-Dense(d)
+
+matching torch ``TransformerEncoderLayer(norm_first=True, dropout=0.0)``
+(reference :18-27; torch's default FFN activation is ReLU). No final norm
+(torch ``TransformerEncoder`` adds one only when asked; the reference
+doesn't).
+
+Init parity: the reference leaves the encoder body at torch defaults
+(``initialize_weights_explicit(modules_to_init=[], ...)``, :57-62) — we
+likewise leave the body at flax defaults; cell/pos embeddings use
+normal(0.02) (:53-55); heads get the shared orthogonal policy.
+
+The sequence is M*N board cells (<=169 at 13x13) — deliberately no
+ring-attention/sequence parallelism (SURVEY.md §5: scale the env batch
+axis instead).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import ActorCriticHeads
+
+
+class EncoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.embed_dim,
+            dtype=self.dtype,
+        )(h, h)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.embed_dim * 4, dtype=self.dtype)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
+        return x + h
+
+
+class TransformerActorCritic(nn.Module):
+    action_dim: int
+    embed_dim: int = 128
+    num_layers: int = 4
+    num_heads: int = 4
+    head_hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False):
+        del train  # no batch-dependent layers in the transformer body
+        b, c, m, n = obs.shape
+        # (B, 2, M, N) -> (B, M*N, 2) tokens, then per-cell embedding.
+        tokens = jnp.transpose(obs, (0, 2, 3, 1)).reshape(b, m * n, c)
+        x = nn.Dense(
+            self.embed_dim,
+            kernel_init=nn.initializers.normal(stddev=0.02),
+            dtype=self.dtype,
+            name="cell_embed",
+        )(tokens.astype(self.dtype))
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, m * n, self.embed_dim),
+        )
+        x = x + pos.astype(self.dtype)
+        for _ in range(self.num_layers):
+            x = EncoderLayer(
+                embed_dim=self.embed_dim, num_heads=self.num_heads, dtype=self.dtype
+            )(x)
+        return ActorCriticHeads(
+            action_dim=self.action_dim, hidden=self.head_hidden, dtype=self.dtype
+        )(x)
