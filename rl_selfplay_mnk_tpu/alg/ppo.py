@@ -1,0 +1,460 @@
+"""PPO self-play learner: rollout + GAE + clipped-surrogate update, jitted.
+
+Capability parity with the reference ``PPOAgent`` (src/alg/ppo.py:27-262)
+and ``RolloutBuffer`` (src/alg/rollout_buffer.py:4-113), re-designed
+TPU-first:
+
+  * The reference's Python rollout loop (256 iterations of
+    forward/sample/env.step, ppo.py:93-122) is ONE ``lax.scan`` compiled
+    into a single XLA program — no host round-trips inside the hot loop.
+  * The RolloutBuffer's pre-allocated tensors + ``add()`` copies become the
+    scan's stacked outputs; no copies at all.
+  * The epochs x shuffled-minibatch update (ppo.py:180-191) is a nested
+    ``lax.scan`` with ``jax.random.permutation`` index gathers.
+  * AMP autocast + GradScaler (ppo.py:194, 219-226) are replaced by bf16
+    compute / f32 params+optimizer — the TPU-native mixed-precision recipe
+    (no loss scaling needed for bf16's exponent range).
+  * Losses and diagnostics match the reference exactly: clipped surrogate
+    (ppo.py:201-208), value MSE vs Tanh-bounded critic (:210), entropy bonus
+    (:199, 211), 0.5 global-norm clip (:222), clip_fraction / approx-KL /
+    explained-variance (:240-252), buffer-global advantage normalization
+    with Bessel-corrected std (rollout_buffer.py:94-97).
+
+Timing contract (reference ppo.py:79, 126-140): ``rollout_time`` covers
+sampling+env stepping only; bootstrap+GAE+update run in the learn phase.
+``fps`` = n_steps * num_envs / rollout_time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env.mnk_env import EnvConfig
+from ..ops.masked import entropy as masked_entropy
+from ..ops.masked import log_prob, mask_logits, masked_sample
+from ..selfplay.wrapper import selfplay_reset, selfplay_step
+from .gae import compute_gae
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static PPO hyperparameters (hashable -> usable as a jit static arg).
+
+    Defaults mirror reference ``PPOAgent.__init__`` (ppo.py:29-47).
+    ``shuffle``:
+      * "global" — exact reference semantics: one permutation over the
+        flattened (num_envs * n_steps) batch per epoch.
+      * "tiled"  — communication-free multi-chip variant: independent
+        permutations within ``shard_groups`` contiguous env blocks, so
+        minibatch gathers never cross shard boundaries on an env-sharded
+        mesh. Statistically equivalent; documented deviation.
+    """
+
+    env: EnvConfig
+    num_envs: int
+    n_steps: int
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ppo_epochs: int = 4
+    batch_size: int = 64
+    value_coef: float = 0.5
+    shuffle: str = "global"
+    shard_groups: int = 1
+
+    @property
+    def total_batch(self) -> int:
+        return self.num_envs * self.n_steps
+
+    @property
+    def num_minibatches(self) -> int:
+        assert self.total_batch % self.batch_size == 0, (
+            "num_envs * n_steps must be divisible by batch_size "
+            f"({self.total_batch} % {self.batch_size})"
+        )
+        return self.total_batch // self.batch_size
+
+    @property
+    def updates_per_iteration(self) -> int:
+        return self.ppo_epochs * self.num_minibatches
+
+
+@dataclasses.dataclass
+class TrainingMetrics:
+    """Per-iteration metrics; field-for-field parity with reference
+    ``TrainingMetrics`` (ppo.py:11-24)."""
+
+    mean_reward: float
+    mean_length: float
+    actor_loss: float
+    critic_loss: float
+    entropy_loss: float
+    grad_norm: float
+    clip_fraction: float
+    explained_variance: float
+    approx_kl: float
+    fps: float
+    rollout_time: float
+    learn_time: float
+
+
+# ---------------------------------------------------------------------------
+# pure programs
+# ---------------------------------------------------------------------------
+
+
+def _train_forward(module, params, batch_stats, observation):
+    """Train-mode forward: batch-stat BN + running-stat update (the
+    reference keeps the network in train mode for rollout, bootstrap and
+    update forwards alike — ppo.py:97, 131, 195)."""
+    (logits, value), updated = module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        observation,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    return logits, value, updated.get("batch_stats", batch_stats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("module", "config", "opponent_apply")
+)
+def rollout(
+    module,
+    config: PPOConfig,
+    opponent_apply: Callable,
+    params: Any,
+    batch_stats: Any,
+    opponent_params: Any,
+    sp_state,
+    obs: dict,
+    rng: jax.Array,
+):
+    """Collect ``n_steps`` vectorized self-play steps (reference ppo.py:93-122).
+
+    Returns (sp_state, obs, batch_stats, traj, ep_stats, rng') where traj is
+    a dict of (T, E, ...) arrays and ep_stats = (finished_reward_sum,
+    finished_length_sum, finished_count) for the reference's mean episode
+    metrics (ppo.py:110-120, 150-151).
+    """
+
+    def body(carry, _):
+        sp_state, obs, batch_stats, rng, ep_rew, ep_len, fin = carry
+        rng, k_sample, k_step = jax.random.split(rng, 3)
+        logits, value, batch_stats = _train_forward(
+            module, params, batch_stats, obs["observation"]
+        )
+        mlogits = mask_logits(logits, obs["action_mask"])
+        actions = masked_sample(k_sample, mlogits)
+        logp = log_prob(mlogits, actions)
+        sp_state, next_obs, rewards, dones = selfplay_step(
+            config.env, opponent_apply, opponent_params, sp_state, actions, k_step
+        )
+        ep_rew = ep_rew + rewards
+        ep_len = ep_len + 1.0
+        d = dones.astype(jnp.float32)
+        fin = (
+            fin[0] + (ep_rew * d).sum(),
+            fin[1] + (ep_len * d).sum(),
+            fin[2] + d.sum(),
+        )
+        ep_rew = ep_rew * (1.0 - d)
+        ep_len = ep_len * (1.0 - d)
+        out = {
+            "obs": obs["observation"],
+            "mask": obs["action_mask"],
+            "actions": actions,
+            "log_probs": logp,
+            "rewards": rewards,
+            "values": value[:, 0],
+            "dones": dones,
+        }
+        return (sp_state, next_obs, batch_stats, rng, ep_rew, ep_len, fin), out
+
+    e = config.num_envs
+    zeros = jnp.zeros((e,), jnp.float32)
+    fin0 = (jnp.zeros((), jnp.float32),) * 3
+    (sp_state, obs, batch_stats, rng, _, _, fin), traj = jax.lax.scan(
+        body,
+        (sp_state, obs, batch_stats, rng, zeros, zeros, fin0),
+        None,
+        length=config.n_steps,
+    )
+    return sp_state, obs, batch_stats, traj, fin, rng
+
+
+def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
+    """Per-epoch shuffled index matrix (num_minibatches, batch_size)."""
+    n = config.total_batch
+    if config.shuffle == "tiled" and config.shard_groups > 1:
+        g = config.shard_groups
+        assert n % g == 0 and config.batch_size % g == 0
+        per_group = n // g
+        keys = jax.random.split(rng, g)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, per_group)
+        )(keys)  # (G, n/G)
+        perms = perms + jnp.arange(g)[:, None] * per_group
+        # minibatch j takes batch_size/g consecutive entries from each group
+        mb = config.batch_size // g
+        idx = (
+            perms.reshape(g, config.num_minibatches, mb)
+            .transpose(1, 0, 2)
+            .reshape(config.num_minibatches, config.batch_size)
+        )
+        return idx
+    perm = jax.random.permutation(rng, n)
+    return perm.reshape(config.num_minibatches, config.batch_size)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "config", "optimizer"))
+def update(
+    module,
+    config: PPOConfig,
+    optimizer,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    traj: dict,
+    final_obs: dict,
+    entropy_coef: jax.Array,
+    rng: jax.Array,
+):
+    """Bootstrap + GAE + ppo_epochs x minibatch SGD (reference ppo.py:131-135,
+    168-262). One XLA program."""
+
+    # Bootstrap value for GAE (ppo.py:131-133); train-mode forward like the
+    # reference (network stays in train mode).
+    _, last_value, batch_stats = _train_forward(
+        module, params, batch_stats, final_obs["observation"]
+    )
+    advantages, returns = compute_gae(
+        traj["rewards"],
+        traj["values"],
+        traj["dones"],
+        last_value[:, 0],
+        config.gamma,
+        config.gae_lambda,
+    )
+
+    # Flatten env-major so an env-sharded mesh keeps each env's samples on
+    # its own shard: (T, E, ...) -> (E*T, ...).
+    def flat(x):
+        return jnp.swapaxes(x, 0, 1).reshape((config.total_batch,) + x.shape[2:])
+
+    b_obs = flat(traj["obs"])
+    b_mask = flat(traj["mask"])
+    b_actions = flat(traj["actions"])
+    b_old_logp = flat(traj["log_probs"])
+    b_returns = flat(returns)
+    b_adv = flat(advantages)
+
+    # Buffer-global advantage normalization with Bessel-corrected std
+    # (rollout_buffer.py:94-97; torch .std() is ddof=1).
+    b_adv = (b_adv - b_adv.mean()) / (b_adv.std(ddof=1) + 1e-8)
+
+    def loss_fn(params, batch_stats, idx):
+        obs = jnp.take(b_obs, idx, axis=0)
+        mask = jnp.take(b_mask, idx, axis=0)
+        actions = jnp.take(b_actions, idx, axis=0)
+        old_logp = jnp.take(b_old_logp, idx, axis=0)
+        rets = jnp.take(b_returns, idx, axis=0)
+        adv = jnp.take(b_adv, idx, axis=0)
+
+        logits, value, batch_stats = _train_forward(module, params, batch_stats, obs)
+        mlogits = mask_logits(logits, mask)
+        new_logp = log_prob(mlogits, actions)
+        ent = masked_entropy(mlogits).mean()
+
+        log_ratio = new_logp - old_logp
+        ratio = jnp.exp(log_ratio)
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - config.clip_range, 1.0 + config.clip_range) * adv
+        actor_loss = -jnp.minimum(surr1, surr2).mean()
+
+        values = value[:, 0]
+        critic_loss = jnp.mean((values - rets) ** 2)
+        entropy_loss = -ent
+        total = (
+            actor_loss
+            + config.value_coef * critic_loss
+            + entropy_coef * entropy_loss
+        )
+
+        clip_frac = (jnp.abs(ratio - 1.0) > config.clip_range).mean()
+        approx_kl = ((ratio - 1.0) - log_ratio).mean()
+        rvar = rets.var(ddof=1)
+        explained_var = jnp.where(rvar > 1e-8, 1.0 - critic_loss / rvar, 0.0)
+        aux = {
+            "batch_stats": batch_stats,
+            "actor_loss": actor_loss,
+            "critic_loss": critic_loss,
+            "entropy_loss": entropy_loss,
+            "clip_fraction": clip_frac,
+            "approx_kl": approx_kl,
+            "explained_variance": explained_var,
+        }
+        return total, aux
+
+    metric_keys = (
+        "actor_loss",
+        "critic_loss",
+        "entropy_loss",
+        "grad_norm",
+        "clip_fraction",
+        "approx_kl",
+        "explained_variance",
+    )
+
+    def mb_body(carry, idx):
+        params, batch_stats, opt_state, sums = carry
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, idx
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        batch_stats = aux["batch_stats"]
+        aux["grad_norm"] = grad_norm
+        sums = {k: sums[k] + aux[k] for k in metric_keys}
+        return (params, batch_stats, opt_state, sums), None
+
+    def epoch_body(carry, k_epoch):
+        params, batch_stats, opt_state, sums = carry
+        idx = _minibatch_indices(config, k_epoch)
+        (params, batch_stats, opt_state, sums), _ = jax.lax.scan(
+            mb_body, (params, batch_stats, opt_state, sums), idx
+        )
+        return (params, batch_stats, opt_state, sums), None
+
+    sums = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
+    epoch_keys = jax.random.split(rng, config.ppo_epochs)
+    (params, batch_stats, opt_state, sums), _ = jax.lax.scan(
+        epoch_body, (params, batch_stats, opt_state, sums), epoch_keys
+    )
+    n_updates = config.updates_per_iteration
+    metrics = {k: v / n_updates for k, v in sums.items()}
+    return params, batch_stats, opt_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# host-side orchestration
+# ---------------------------------------------------------------------------
+
+
+class PPOLearner:
+    """Host facade: owns train state and drives the two jitted phases.
+
+    Mirrors the reference agent's ``learn(vec_env) -> TrainingMetrics``
+    surface (ppo.py:78-166) but the "vec_env" is baked in as pure functions
+    and the opponent arrives per-call as (apply_fn, params) — swapping
+    opponents costs a pytree substitution, never a recompile (as long as the
+    apply fn object is reused).
+    """
+
+    def __init__(
+        self,
+        module,
+        config: PPOConfig,
+        optimizer,
+        variables: dict,
+        rng: jax.Array,
+        opt_state: Any = None,
+    ):
+        self.module = module
+        self.config = config
+        self.optimizer = optimizer
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = (
+            optimizer.init(self.params) if opt_state is None else opt_state
+        )
+        self.rng = rng
+        self.iteration = 0
+        self._sp_state = None
+        self._obs = None
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def reset_envs(self, opponent_apply: Callable, opponent_params: Any) -> None:
+        self.rng, k = jax.random.split(self.rng)
+        self._sp_state, self._obs = jax.jit(
+            selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
+        )(self.config.env, opponent_apply, opponent_params, self.config.num_envs, k)
+
+    def learn(
+        self,
+        opponent_apply: Callable,
+        opponent_params: Any,
+        entropy_coef: float,
+    ) -> TrainingMetrics:
+        cfg = self.config
+        if self._sp_state is None:
+            self.reset_envs(opponent_apply, opponent_params)
+
+        t0 = time.perf_counter()
+        self.rng, k_roll, k_upd = jax.random.split(self.rng, 3)
+        (
+            self._sp_state,
+            self._obs,
+            self.batch_stats,
+            traj,
+            fin,
+            _,
+        ) = rollout(
+            self.module,
+            cfg,
+            opponent_apply,
+            self.params,
+            self.batch_stats,
+            opponent_params,
+            self._sp_state,
+            self._obs,
+            k_roll,
+        )
+        jax.block_until_ready(traj)
+        rollout_time = time.perf_counter() - t0
+        total_steps = cfg.n_steps * cfg.num_envs
+        fps = total_steps / rollout_time if rollout_time > 0 else 0.0
+
+        t1 = time.perf_counter()
+        self.params, self.batch_stats, self.opt_state, metrics = update(
+            self.module,
+            cfg,
+            self.optimizer,
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            traj,
+            self._obs,
+            jnp.float32(entropy_coef),
+            k_upd,
+        )
+        jax.block_until_ready(self.params)
+        learn_time = time.perf_counter() - t1
+
+        fin_rew, fin_len, fin_cnt = (float(x) for x in fin)
+        self.iteration += 1
+        return TrainingMetrics(
+            mean_reward=fin_rew / fin_cnt if fin_cnt else 0.0,
+            mean_length=fin_len / fin_cnt if fin_cnt else 0.0,
+            actor_loss=float(metrics["actor_loss"]),
+            critic_loss=float(metrics["critic_loss"]),
+            entropy_loss=float(metrics["entropy_loss"]),
+            grad_norm=float(metrics["grad_norm"]),
+            clip_fraction=float(metrics["clip_fraction"]),
+            explained_variance=float(metrics["explained_variance"]),
+            approx_kl=float(metrics["approx_kl"]),
+            fps=fps,
+            rollout_time=rollout_time,
+            learn_time=learn_time,
+        )

@@ -49,11 +49,16 @@ def log_prob(logits: jax.Array, actions: jax.Array) -> jax.Array:
 
 
 def entropy(logits: jax.Array) -> jax.Array:
-    """Entropy of the categorical; -inf logits contribute exactly 0."""
+    """Entropy of the categorical; -inf logits contribute exactly 0.
+
+    The -inf is sanitized BEFORE the product (not after): ``p * logp`` with
+    ``p=0, logp=-inf`` is NaN, and even under ``where`` the product's
+    backward pass would emit ``0 * -inf`` NaN cotangents.
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
-    plogp = jnp.where(p > 0, p * logp, 0.0)
-    return -plogp.sum(axis=-1)
+    safe_logp = jnp.where(p > 0, logp, 0.0)
+    return -(p * safe_logp).sum(axis=-1)
 
 
 def random_masked_actions(

@@ -1,0 +1,193 @@
+"""PPO learner tests: GAE oracle, schedules, determinism, and the
+end-to-end learning slice (BASELINE.json config 1: 3x3x3, tiny net, PPO vs
+random opponent, win rate must climb)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+import pytest
+
+from rl_selfplay_mnk_tpu.env import EnvConfig
+from rl_selfplay_mnk_tpu.alg import (
+    PPOConfig,
+    PPOLearner,
+    compute_gae,
+    entropy_coef_at,
+    make_lr_schedule,
+)
+from rl_selfplay_mnk_tpu.models.common import ActorCriticHeads
+from rl_selfplay_mnk_tpu.models.registry import make_apply_fns
+from rl_selfplay_mnk_tpu.selfplay import RandomPolicy, validate
+from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
+
+
+class TinyMLP(nn.Module):
+    """Minimal actor-critic for fast CPU tests (shares the real heads)."""
+
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, obs, train: bool = False):
+        del train
+        b = obs.shape[0]
+        x = obs.reshape(b, -1)
+        x = nn.relu(nn.Dense(64)(x))
+        x = x[:, None, :]  # token-like layout for the shared heads
+        return ActorCriticHeads(action_dim=self.action_dim, hidden=64)(x)
+
+
+def reference_gae(rewards, values, dones, last_values, gamma, lam):
+    """Direct port of the reference reverse loop (rollout_buffer.py:60-80)."""
+    t_steps, e = rewards.shape
+    adv = np.zeros_like(rewards)
+    last_gae = np.zeros(e)
+    for t in reversed(range(t_steps)):
+        next_values = last_values if t == t_steps - 1 else values[t + 1]
+        nonterm = 1.0 - dones[t].astype(np.float64)
+        delta = rewards[t] + gamma * next_values * nonterm - values[t]
+        last_gae = delta + gamma * lam * nonterm * last_gae
+        adv[t] = last_gae
+    return adv, adv + values
+
+
+def test_gae_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    t_steps, e = 32, 8
+    rewards = rng.normal(size=(t_steps, e)).astype(np.float32)
+    values = rng.normal(size=(t_steps, e)).astype(np.float32)
+    dones = rng.random((t_steps, e)) < 0.15
+    last_values = rng.normal(size=(e,)).astype(np.float32)
+    adv, ret = compute_gae(
+        jnp.asarray(rewards),
+        jnp.asarray(values),
+        jnp.asarray(dones),
+        jnp.asarray(last_values),
+        0.99,
+        0.95,
+    )
+    want_adv, want_ret = reference_gae(rewards, values, dones, last_values, 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(adv), want_adv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), want_ret, rtol=1e-5, atol=1e-5)
+
+
+def test_lr_schedule_shape():
+    # 100 iterations total, 10 warmup, updates_per_iteration=4
+    sched = make_lr_schedule(
+        base_lr=1e-3,
+        warmup_env_steps=10 * 100,
+        total_env_steps=100 * 100,
+        num_envs=10,
+        n_steps=10,
+        updates_per_iteration=4,
+        decay=True,
+    )
+    assert float(sched(0)) == pytest.approx(1e-3 * 0.01)
+    # mid warmup (iteration 5 of 10)
+    assert float(sched(5 * 4)) == pytest.approx(1e-3 * (0.01 + 0.99 * 0.5))
+    # after warmup: decay from 1.0 to 0.1 over 90 iterations
+    assert float(sched(10 * 4)) == pytest.approx(1e-3 * 1.0)
+    assert float(sched(100 * 4)) == pytest.approx(1e-3 * 0.1)
+    # constant within an iteration
+    assert float(sched(41)) == float(sched(43))
+
+
+def test_entropy_schedule_linear_and_exponential():
+    sch = {"type": "linear", "params": {"final_coef": 0.001, "total_steps": 1000}}
+    # iteration 0 -> initial
+    assert entropy_coef_at(0.04, sch, 0, 10, 10) == pytest.approx(0.04)
+    # halfway: 500 env steps of 1000
+    assert entropy_coef_at(0.04, sch, 5, 10, 10) == pytest.approx(
+        0.04 * 0.5 + 0.001 * 0.5
+    )
+    # past the horizon
+    assert entropy_coef_at(0.04, sch, 50, 10, 10) == pytest.approx(0.001)
+    sch_e = {"type": "exponential", "params": {"decay_rate": 0.5}}
+    assert entropy_coef_at(0.08, sch_e, 10, 10, 10) == pytest.approx(
+        0.08 * 0.5 ** (1000 / 1000)
+    )
+
+
+def _make_learner(seed=0, num_envs=64, n_steps=32, batch_size=512, lr=3e-3):
+    env_cfg = EnvConfig(3, 3, 3)
+    module = TinyMLP(action_dim=9)
+    variables = dict(module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 2, 3, 3))))
+    variables.setdefault("batch_stats", {})
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=n_steps,
+        batch_size=batch_size,
+        ppo_epochs=2,
+        clip_range=0.2,
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(0.5),
+        optax.adamw(lr, eps=1e-5, weight_decay=0.01),
+    )
+    learner = PPOLearner(
+        module, config, optimizer, variables, jax.random.PRNGKey(seed + 1)
+    )
+    return learner, module, env_cfg
+
+
+def test_ppo_iteration_runs_and_metrics_finite():
+    learner, module, env_cfg = _make_learner()
+    rp = RandomPolicy()
+    m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    for f in (
+        "mean_reward",
+        "actor_loss",
+        "critic_loss",
+        "entropy_loss",
+        "grad_norm",
+        "clip_fraction",
+        "explained_variance",
+        "approx_kl",
+        "fps",
+    ):
+        assert np.isfinite(getattr(m, f)), f
+    assert m.fps > 0
+    # entropy at init should be near-uniform: ln(9-ish legal moves)
+    assert 1.0 < -m.entropy_loss < 2.3
+
+
+def test_ppo_deterministic_under_fixed_seed():
+    ms = []
+    params = []
+    for _ in range(2):
+        learner, _, _ = _make_learner(seed=7)
+        rp = RandomPolicy()
+        m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+        ms.append(m)
+        params.append(learner.params)
+    assert ms[0].actor_loss == ms[1].actor_loss
+    assert ms[0].mean_reward == ms[1].mean_reward
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_ppo_learns_tictactoe_vs_random():
+    """The PR1 end-to-end slice: win rate vs random must climb well above
+    the random-vs-random baseline within 30 iterations."""
+    learner, module, env_cfg = _make_learner(num_envs=128, n_steps=32, lr=1e-2)
+    eval_apply, _ = make_apply_fns(module)
+    rp = RandomPolicy()
+
+    for i in range(30):
+        learner.learn(rp.apply, rp.params, entropy_coef=0.02)
+
+    res = validate(
+        env_cfg,
+        make_network_policy(eval_apply),
+        learner.variables,
+        rp.apply,
+        rp.params,
+        512,
+        jax.random.PRNGKey(99),
+    )
+    score = res["validation/vs_benchmark/score_rate"]
+    # random vs random scores ~0.5; a learner must clearly beat that
+    assert score > 0.70, f"score_rate={score}"
