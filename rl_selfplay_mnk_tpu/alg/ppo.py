@@ -367,6 +367,7 @@ class PPOLearner:
         variables: dict,
         rng: jax.Array,
         opt_state: Any = None,
+        mesh: Any = None,
     ):
         self.module = module
         self.config = config
@@ -380,6 +381,13 @@ class PPOLearner:
         self.iteration = 0
         self._sp_state = None
         self._obs = None
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
+            self.batch_stats = replicate(self.batch_stats, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
 
     @property
     def variables(self) -> dict:
@@ -390,6 +398,11 @@ class PPOLearner:
         self._sp_state, self._obs = jax.jit(
             selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
         )(self.config.env, opponent_apply, opponent_params, self.config.num_envs, k)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batched
+
+            self._sp_state = shard_batched(self._sp_state, self.mesh)
+            self._obs = shard_batched(self._obs, self.mesh)
 
     def learn(
         self,

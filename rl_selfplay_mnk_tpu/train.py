@@ -1,0 +1,406 @@
+"""Self-play PPO training orchestration.
+
+Parity with reference ``train_mnk`` (src/train.py:86-166) and its default
+config (:229-258):
+
+  * opponent schedule: 15% historical from the pool / 85% fresh snapshot of
+    the current network (:108-114) — a params-pytree handoff here, not a
+    module deepcopy;
+  * pool insert every 20 iterations, FIFO eviction (:122-123);
+  * benchmark validation every ``validation_interval`` iterations; promote
+    the benchmark + export with ``is_benchmark_breaker=True`` when
+    score_rate > 0.60 (:125-160); benchmark starts as the UNTRAINED
+    network (:96 — SURVEY.md §7 quirk 4, preserved);
+  * per-iteration fault handling: log the error, continue (:162-164);
+  * final export (:166).
+
+Improvements over the reference (explicit, documented):
+  * full train-state checkpoint/resume via orbax (the reference cannot
+    resume at all — SURVEY.md §5);
+  * metrics go to wandb when available, JSONL always;
+  * runs on CPU/TPU/multi-chip unmodified (reference requires CUDA).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random as _random
+import traceback
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .alg.ppo import PPOConfig, PPOLearner, TrainingMetrics
+from .alg.schedules import entropy_coef_at, make_lr_schedule
+from .env.mnk_env import EnvConfig
+from .models.registry import (
+    create_model_from_architecture,
+    init_network,
+    make_apply_fns,
+)
+from .parallel.mesh import make_mesh
+from .selfplay.opponent_pool import OpponentPool
+from .selfplay.policies import make_network_policy
+from .selfplay.validation import validate
+from .utils.checkpoint import restore_checkpoint, save_checkpoint
+from .utils.hardware import detect_hardware_config
+from .utils.metrics import MetricsLogger
+from .utils.model_export import ModelExporter
+
+
+def get_default_config() -> Dict[str, Any]:
+    """Reference defaults (src/train.py:229-258) plus framework-side knobs."""
+    return {
+        "mnk": (9, 9, 5),
+        # lr
+        "learning_rate": 5e-4,
+        "lr_warmup_steps": 5_000_000,
+        "lr_decay": False,
+        # entropy
+        "entropy_coef": 0.04,
+        "entropy_coef_schedule": {
+            "type": "linear",
+            "params": {"final_coef": 0.001, "total_steps": 125_000_000},
+        },
+        # ppo
+        "gamma": 0.99,
+        "clip_range": 0.2,
+        "batch_size": 8192,
+        "n_steps": 256,
+        "ppo_epochs": 4,
+        "total_environment_steps": 300_000_000,
+        "num_envs": 384,
+        # validation
+        "benchmark_update_threshold_score": 0.60,
+        "validation_interval": 5,
+        "validation_episodes": 256,
+        # selfplay
+        "opponent_pool": 20,
+        #
+        "architecture_name": "resnet_b_s",
+        # framework-side additions
+        "seed": 0,
+        "checkpoint_interval": 0,  # iterations; 0 = disabled
+        "checkpoint_dir": None,  # default: checkpoints/<run_name>
+        "resume": False,
+        "use_mesh": True,  # shard envs over all local devices when >1
+    }
+
+
+def create_learner(config: Dict[str, Any], hw, mesh=None):
+    """Network + optimizer + PPO learner (reference create_agent, train.py:36-83)."""
+    m, n, k = config["mnk"]
+    env_cfg = EnvConfig(m, n, k).validate()
+    obs_shape = (2, m, n)
+    action_dim = m * n
+
+    module, arch_params = create_model_from_architecture(
+        config["architecture_name"], obs_shape, action_dim, dtype=hw.compute_dtype
+    )
+    rng = jax.random.PRNGKey(config["seed"])
+    rng, k_init, k_learn = jax.random.split(rng, 3)
+    variables = init_network(module, obs_shape, k_init)
+
+    num_devices = mesh.devices.size if mesh is not None else 1
+    ppo_cfg = PPOConfig(
+        env=env_cfg,
+        num_envs=config["num_envs"],
+        n_steps=config["n_steps"],
+        gamma=config["gamma"],
+        gae_lambda=0.95,
+        clip_range=config["clip_range"],
+        ppo_epochs=config["ppo_epochs"],
+        batch_size=config["batch_size"],
+        shuffle="tiled" if num_devices > 1 else "global",
+        shard_groups=num_devices,
+    )
+    lr_schedule = make_lr_schedule(
+        base_lr=config["learning_rate"],
+        warmup_env_steps=config["lr_warmup_steps"],
+        total_env_steps=config["total_environment_steps"],
+        num_envs=config["num_envs"],
+        n_steps=config["n_steps"],
+        updates_per_iteration=ppo_cfg.updates_per_iteration,
+        decay=config["lr_decay"],
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(0.5),
+        optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01),
+    )
+    learner = PPOLearner(module, ppo_cfg, optimizer, variables, k_learn, mesh=mesh)
+    return learner, module, env_cfg, arch_params, lr_schedule
+
+
+def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) -> None:
+    """The training loop (reference train_mnk, src/train.py:86-166)."""
+    if logger is None:
+        logger = MetricsLogger(project="mnk", config=config)
+
+    hw = detect_hardware_config()
+    mesh = None
+    if config.get("use_mesh", True) and hw.num_devices > 1:
+        mesh = make_mesh()
+        assert config["num_envs"] % hw.num_devices == 0, (
+            "num_envs must divide evenly over devices"
+        )
+
+    exporter = ModelExporter(logger.run_name)
+    learner, module, env_cfg, arch_params, lr_schedule = create_learner(
+        config, hw, mesh
+    )
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+
+    # Benchmark starts as the UNTRAINED network (reference :96) and the pool
+    # is seeded with one snapshot (:98-99).
+    benchmark_variables = learner.variables
+    pool = OpponentPool(max_size=config["opponent_pool"], seed=config["seed"])
+    pool.add_opponent(learner.variables)
+
+    steps_per_iteration = config["num_envs"] * config["n_steps"]
+    total_iterations = config["total_environment_steps"] // steps_per_iteration
+
+    ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
+    ckpt_interval = config.get("checkpoint_interval", 0)
+    start_iteration = 0
+    if config.get("resume"):
+        template = {
+            "params": learner.params,
+            "batch_stats": learner.batch_stats,
+            "opt_state": learner.opt_state,
+            "benchmark": benchmark_variables,
+            "pool": list(pool.pool),
+            "rng": learner.rng,
+            "iteration": 0,
+        }
+        state, step = restore_checkpoint(ckpt_dir, template)
+        if state is not None:
+            learner.params = state["params"]
+            learner.batch_stats = state["batch_stats"]
+            learner.opt_state = state["opt_state"]
+            learner.rng = state["rng"]
+            benchmark_variables = state["benchmark"]
+            pool.pool.clear()
+            for entry in state["pool"]:
+                pool.add_opponent(entry)
+            start_iteration = int(state["iteration"]) + 1
+            learner.iteration = start_iteration
+            print(f"Resumed from checkpoint at iteration {start_iteration}")
+
+    host_rng = _random.Random(config["seed"] + start_iteration)
+    print(f"Starting training for {total_iterations} iterations")
+
+    current_env_steps = start_iteration * steps_per_iteration
+    for i in range(start_iteration, total_iterations):
+        try:
+            # 15% historical opponent / 85% current snapshot (reference :108-114).
+            if host_rng.random() < 0.15:
+                opponent_variables = pool.get_random_opponent()
+                logger.log(
+                    {"training/opponent_source": "historical"}, step=current_env_steps
+                )
+            else:
+                opponent_variables = learner.variables
+                logger.log(
+                    {"training/opponent_source": "current_agent"},
+                    step=current_env_steps,
+                )
+
+            ent_coef = entropy_coef_at(
+                config["entropy_coef"],
+                config["entropy_coef_schedule"],
+                i,
+                config["num_envs"],
+                config["n_steps"],
+            )
+            metrics = learner.learn(policy_act, opponent_variables, ent_coef)
+            current_env_steps = (i + 1) * steps_per_iteration
+
+            current_lr = float(
+                lr_schedule((i + 1) * learner.config.updates_per_iteration - 1)
+            )
+            log_training_metrics(
+                logger, metrics, i, current_env_steps, ent_coef, current_lr
+            )
+
+            if i % 20 == 0:
+                pool.add_opponent(learner.variables)
+
+            if i > 0 and i % config["validation_interval"] == 0:
+                print(
+                    f"--- Running validation at step {i} "
+                    f"({current_env_steps:,} env steps) ---"
+                )
+                validation_res = validate(
+                    env_cfg,
+                    policy_act,
+                    learner.variables,
+                    policy_act,
+                    benchmark_variables,
+                    config["validation_episodes"],
+                    jax.random.fold_in(jax.random.PRNGKey(config["seed"]), i),
+                )
+                logger.log(validation_res, step=current_env_steps)
+
+                score_rate = validation_res["validation/vs_benchmark/score_rate"]
+                win_rate = validation_res["validation/vs_benchmark/win_rate"]
+                draw_rate = validation_res["validation/vs_benchmark/draw_rate"]
+                loss_rate = validation_res["validation/vs_benchmark/loss_rate"]
+                print(
+                    f"Score: {score_rate:.2f} | W: {win_rate:.2f} | "
+                    f"D: {draw_rate:.2f} | L: {loss_rate:.2f}"
+                )
+
+                if score_rate > config["benchmark_update_threshold_score"]:
+                    print(f"--- New benchmark agent at step {i}! ---")
+                    benchmark_variables = learner.variables
+                    exporter.export_model(
+                        learner.variables,
+                        config["architecture_name"],
+                        arch_params,
+                        i,
+                        is_benchmark_breaker=True,
+                    )
+                    logger.log(
+                        {"validation/new_benchmark_step": 1}, step=current_env_steps
+                    )
+                else:
+                    exporter.export_model(
+                        learner.variables,
+                        config["architecture_name"],
+                        arch_params,
+                        i,
+                        is_benchmark_breaker=False,
+                    )
+
+            if ckpt_interval and i > 0 and i % ckpt_interval == 0:
+                save_checkpoint(
+                    ckpt_dir,
+                    i,
+                    {
+                        "params": learner.params,
+                        "batch_stats": learner.batch_stats,
+                        "opt_state": learner.opt_state,
+                        "benchmark": benchmark_variables,
+                        "pool": list(pool.pool),
+                        "rng": learner.rng,
+                        "iteration": i,
+                    },
+                )
+
+        except Exception as e:  # reference :162-164: log and continue
+            handle_training_error(logger, e, i, current_env_steps)
+            continue
+
+    exporter.export_model(
+        learner.variables,
+        config["architecture_name"],
+        arch_params,
+        total_iterations,
+        is_benchmark_breaker=False,
+    )
+
+
+def log_training_metrics(
+    logger: MetricsLogger,
+    metrics: TrainingMetrics,
+    iteration: int,
+    env_steps: int,
+    entropy_coef: float,
+    current_lr: float,
+) -> None:
+    """Stdout + tracker logging (reference train.py:169-210, same keys)."""
+    print(
+        f"Iter {iteration} | {env_steps:,} steps | "
+        f"reward: {metrics.mean_reward:.3f} | "
+        f"length: {metrics.mean_length:.1f} | "
+        f"entropy: {metrics.entropy_loss:.4f} | "
+        f"entropy_coef: {entropy_coef:.4f} | "
+        f"lr: {current_lr:.6f} | "
+        f"grad_norm: {metrics.grad_norm:.3f} | "
+        f"clip: {metrics.clip_fraction:.3f} | "
+        f"explained_var: {metrics.explained_variance:.3f} | "
+        f"approx_kl: {metrics.approx_kl:.4f} | "
+        f"fps: {metrics.fps:.1f} | "
+        f"rollout_time: {metrics.rollout_time:.3f}s | "
+        f"learn_time: {metrics.learn_time:.3f}s"
+    )
+    logger.log(
+        {
+            "training/mean_reward": metrics.mean_reward,
+            "training/mean_length": metrics.mean_length,
+            "training/actor_loss": metrics.actor_loss,
+            "training/critic_loss": metrics.critic_loss,
+            "training/entropy_loss": metrics.entropy_loss,
+            "training/entropy_coef": entropy_coef,
+            "training/learning_rate": current_lr,
+            "training/grad_norm": metrics.grad_norm,
+            "training/clip_fraction": metrics.clip_fraction,
+            "training/explained_variance": metrics.explained_variance,
+            "training/approx_kl": metrics.approx_kl,
+            "training/fps": metrics.fps,
+        },
+        step=env_steps,
+    )
+
+
+def handle_training_error(
+    logger: MetricsLogger, error: Exception, iteration: int, env_steps: int
+) -> None:
+    """Log the failure and move on (reference train.py:213-226)."""
+    print(f"Error in iteration {iteration}: {error}")
+    traceback.print_exc()
+    logger.log(
+        {
+            "error/iteration": iteration,
+            "error/message": str(error),
+            "error/traceback": traceback.format_exc(),
+        },
+        step=env_steps,
+    )
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Train self-play PPO on MNK")
+    parser.add_argument("--arch", default=None, help="architecture registry name")
+    parser.add_argument("--m", type=int, default=None)
+    parser.add_argument("--n", type=int, default=None)
+    parser.add_argument("--k", type=int, default=None)
+    parser.add_argument("--num-envs", type=int, default=None)
+    parser.add_argument("--total-steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--run-name", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--checkpoint-interval", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    config = get_default_config()
+    if args.arch:
+        config["architecture_name"] = args.arch
+    if args.m and args.n and args.k:
+        config["mnk"] = (args.m, args.n, args.k)
+    if args.num_envs:
+        config["num_envs"] = args.num_envs
+    if args.total_steps:
+        config["total_environment_steps"] = args.total_steps
+    if args.seed is not None:
+        config["seed"] = args.seed
+    if args.resume:
+        config["resume"] = True
+    if args.checkpoint_interval is not None:
+        config["checkpoint_interval"] = args.checkpoint_interval
+
+    with MetricsLogger(
+        project="mnk",
+        run_name=args.run_name,
+        config=config,
+        group="main_run_small_board",
+        tags=["main_experiment"],
+    ) as logger:
+        train_mnk(config, logger)
+
+
+if __name__ == "__main__":
+    main()

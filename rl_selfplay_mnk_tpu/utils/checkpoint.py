@@ -1,0 +1,54 @@
+"""Full train-state checkpoint/resume — an explicit improvement over the
+reference, which exports weights only and cannot resume (SURVEY.md §5:
+"No optimizer/scheduler/pool/env-state checkpointing and no resume path at
+all").
+
+Checkpoints carry the complete training pytree (params, batch_stats,
+optimizer state, opponent pool, benchmark params, iteration, RNG key) via
+orbax, so a training run restarts bit-exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any, max_to_keep: int = 3):
+    """Persist ``state`` (any pytree) as checkpoint ``step``."""
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, template: Any, step: Optional[int] = None):
+    """Restore the pytree saved at ``step`` (default: latest) shaped like
+    ``template``. Returns (state, step) or (None, None) when absent."""
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None, None
+    state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return state, step

@@ -1,0 +1,167 @@
+"""Orchestration tests: export/import round-trip, metadata schema parity,
+device pool FIFO semantics, checkpoint/resume, and a micro end-to-end
+train_mnk run exercising the full loop (pool, validation, promotion,
+export, error handling)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_selfplay_mnk_tpu.models.registry import (
+    create_model_from_architecture,
+    init_network,
+    make_apply_fns,
+)
+from rl_selfplay_mnk_tpu.selfplay.opponent_pool import (
+    OpponentPool,
+    pool_add,
+    pool_init,
+    pool_sample,
+)
+from rl_selfplay_mnk_tpu.utils.model_export import (
+    ModelExporter,
+    get_models_from_directory,
+    load_any_model,
+)
+
+
+def test_export_import_roundtrip(tmp_path):
+    module, arch_params = create_model_from_architecture("cnn_b_s", (2, 5, 5), 25)
+    variables = init_network(module, (2, 5, 5), jax.random.PRNGKey(0))
+    exporter = ModelExporter("testrun", base_dir=str(tmp_path))
+    model_id = exporter.export_model(variables, "cnn_b_s", arch_params, 42, True)
+    assert model_id == "model_00042"
+
+    # metadata schema parity (reference model_export.py:60-72)
+    with open(tmp_path / "testrun" / "model_00042.json") as f:
+        meta = json.load(f)
+    assert meta["model_id"] == "model_00042"
+    assert meta["iteration"] == 42
+    assert meta["architecture"]["name"] == "cnn_b_s"
+    assert meta["architecture"]["params"] == {"obs_shape": [2, 5, 5], "action_dim": 25}
+    assert meta["is_benchmark_breaker"] is True
+    assert meta["run_name"] == "testrun"
+    assert "export_timestamp" in meta
+
+    module2, variables2, metadata = load_any_model(
+        str(tmp_path / "testrun"), "model_00042"
+    )
+    eval1, _ = make_apply_fns(module)
+    eval2, _ = make_apply_fns(module2)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 5, 5))
+    l1, v1 = eval1(variables, obs)
+    l2, v2 = eval2(variables2, obs)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    listing = get_models_from_directory(str(tmp_path / "testrun"))
+    assert len(listing) == 1 and listing[0]["iteration"] == 42
+
+
+def test_device_pool_fifo_and_sampling():
+    template = {"w": jnp.zeros((2, 2)), "b": jnp.zeros((3,))}
+    pool = pool_init(template, max_size=3)
+    assert int(pool.size) == 0
+
+    def entry(v):
+        return {"w": jnp.full((2, 2), float(v)), "b": jnp.full((3,), float(v))}
+
+    for v in [1, 2, 3]:
+        pool = pool_add(pool, entry(v))
+    assert int(pool.size) == 3
+    # FIFO eviction: adding a 4th overwrites the oldest (slot of value 1)
+    pool = pool_add(pool, entry(4))
+    slot_values = sorted(float(pool.stacked["w"][i, 0, 0]) for i in range(3))
+    assert slot_values == [2.0, 3.0, 4.0]
+
+    # uniform sampling covers all current entries
+    seen = set()
+    for s in range(40):
+        drawn = pool_sample(pool, jax.random.PRNGKey(s))
+        seen.add(float(drawn["w"][0, 0]))
+    assert seen == {2.0, 3.0, 4.0}
+
+
+def test_host_pool_matches_reference_api():
+    pool = OpponentPool(max_size=2, seed=0)
+    assert pool.get_random_opponent() is None
+    pool.add_opponent("a")
+    pool.add_opponent("b")
+    pool.add_opponent("c")  # evicts "a"
+    assert pool.size() == 2
+    assert set(pool.pool) == {"b", "c"}
+    assert pool.get_random_opponent() in {"b", "c"}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rl_selfplay_mnk_tpu.utils.checkpoint import (
+        latest_checkpoint_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "iteration": 7,
+        "rng": jax.random.PRNGKey(3),
+    }
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 7, jax.device_get(state))
+    assert latest_checkpoint_step(ckpt_dir) == 7
+    template = jax.tree.map(lambda x: jnp.zeros_like(x), state)
+    restored, step = restore_checkpoint(ckpt_dir, jax.device_get(template))
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    assert int(restored["iteration"]) == 7
+
+
+def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
+    """Full loop on 3x3x3 for a handful of iterations: metrics written,
+    models exported, validation executed."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=16,
+        n_steps=16,
+        batch_size=64,
+        ppo_epochs=1,
+        total_environment_steps=16 * 16 * 6,  # 6 iterations
+        validation_interval=2,
+        validation_episodes=32,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=3,
+        use_mesh=False,
+        checkpoint_interval=0,
+        entropy_coef_schedule=None,
+    )
+    logger = MetricsLogger(
+        run_name="micro", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk(config, logger)
+    logger.finish()
+
+    # training metrics were written
+    lines = [
+        json.loads(line)
+        for line in open(tmp_path / "runs" / "micro.jsonl")
+    ]
+    keys = {k for rec in lines for k in rec}
+    assert "training/mean_reward" in keys
+    assert "validation/vs_benchmark/score_rate" in keys
+    assert not any(k.startswith("error/") for k in keys)
+
+    # exports happened: validations at i=2,4 plus the final export at i=6
+    exported = os.listdir(tmp_path / "models" / "micro")
+    assert "model_00006.msgpack" in exported
+    assert len([f for f in exported if f.endswith(".json")]) >= 3
