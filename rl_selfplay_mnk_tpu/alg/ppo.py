@@ -375,7 +375,7 @@ class PPOLearner:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = (
-            optimizer.init(self.params) if opt_state is None else opt_state
+            jax.jit(optimizer.init)(self.params) if opt_state is None else opt_state
         )
         self.rng = rng
         self.iteration = 0

@@ -103,7 +103,11 @@ def init_network(module, obs_shape: Tuple[int, int, int], rng: jax.Array) -> dic
     contract across architectures).
     """
     dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.float32)
-    variables = dict(module.init(rng, dummy, train=False))
+    # One compiled program instead of per-parameter eager dispatches (which
+    # crawl when every op is a network round-trip on the remote-TPU tunnel).
+    variables = dict(
+        jax.jit(lambda r: module.init(r, dummy, train=False))(rng)
+    )
     variables.setdefault("batch_stats", {})
     return variables
 

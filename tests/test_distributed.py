@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the full training step (rollout scan + update) compiles and
+executes with envs sharded over a mesh and params replicated — the scaling
+design of SURVEY.md §7 step 6 — without a real TPU pod.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from rl_selfplay_mnk_tpu.env import EnvConfig
+from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
+from rl_selfplay_mnk_tpu.models.common import ActorCriticHeads
+from rl_selfplay_mnk_tpu.parallel import make_mesh, shard_batched, replicate
+from rl_selfplay_mnk_tpu.selfplay import RandomPolicy
+
+
+class TinyMLP(nn.Module):
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, obs, train: bool = False):
+        del train
+        b = obs.shape[0]
+        x = nn.relu(nn.Dense(32)(obs.reshape(b, -1)))
+        return ActorCriticHeads(action_dim=self.action_dim, hidden=32)(x[:, None, :])
+
+
+def _learner(mesh, num_envs, shuffle, shard_groups, seed=0):
+    env_cfg = EnvConfig(3, 3, 3)
+    module = TinyMLP(action_dim=9)
+    variables = dict(module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 2, 3, 3))))
+    variables.setdefault("batch_stats", {})
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=8,
+        batch_size=num_envs * 8 // 4,
+        ppo_epochs=2,
+        shuffle=shuffle,
+        shard_groups=shard_groups,
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(0.5), optax.adamw(1e-3, eps=1e-5)
+    )
+    return PPOLearner(
+        module, config, optimizer, variables, jax.random.PRNGKey(seed + 1), mesh=mesh
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_full_train_step_on_mesh(n_devices):
+    mesh = make_mesh(num_devices=n_devices)
+    learner = _learner(mesh, num_envs=16, shuffle="tiled", shard_groups=n_devices)
+    rp = RandomPolicy()
+    m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert np.isfinite(m.actor_loss)
+    # env state stayed sharded over the env axis
+    assert learner._sp_state.env.boards.sharding.spec == P("env")
+    # params stayed replicated
+    leaf = jax.tree.leaves(learner.params)[0]
+    assert leaf.sharding.spec in (P(), P(None), P(*(None,) * leaf.ndim))
+    # a second iteration reuses the compiled programs
+    m2 = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert np.isfinite(m2.actor_loss)
+
+
+def test_sharded_matches_unsharded_rollout():
+    """Rollout trajectories must be identical under sharding (same seed):
+    layout cannot change environment dynamics."""
+    from rl_selfplay_mnk_tpu.alg.ppo import rollout
+    from rl_selfplay_mnk_tpu.selfplay.wrapper import selfplay_reset
+
+    env_cfg = EnvConfig(3, 3, 3)
+    module = TinyMLP(action_dim=9)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 3, 3))))
+    variables.setdefault("batch_stats", {})
+    config = PPOConfig(env=env_cfg, num_envs=16, n_steps=8, batch_size=32)
+    rp = RandomPolicy()
+
+    def run(shard):
+        state, obs = jax.jit(
+            selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
+        )(env_cfg, rp.apply, None, 16, jax.random.PRNGKey(5))
+        params, bs = variables["params"], variables["batch_stats"]
+        if shard:
+            mesh = make_mesh(num_devices=8)
+            state = shard_batched(state, mesh)
+            obs = shard_batched(obs, mesh)
+            params = replicate(params, mesh)
+        _, _, _, traj, fin, _ = rollout(
+            module, config, rp.apply, params, bs, None, state, obs,
+            jax.random.PRNGKey(6),
+        )
+        return jax.device_get(traj), jax.device_get(fin)
+
+    traj_a, fin_a = run(shard=False)
+    traj_b, fin_b = run(shard=True)
+    for key in ("actions", "rewards", "dones"):
+        np.testing.assert_array_equal(traj_a[key], traj_b[key])
+    np.testing.assert_allclose(fin_a, fin_b, rtol=1e-6)
