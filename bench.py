@@ -42,16 +42,22 @@ def run_bench(num_envs: int, n_steps: int, iters: int, warmup: int, arch: str):
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
 
+    from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
+
     config = PPOConfig(
         env=env_cfg,
         num_envs=num_envs,
         n_steps=n_steps,
         batch_size=8192,
         ppo_epochs=4,
+        shuffle="grouped" if hw.is_accelerator else "global",
+        group_size=pick_group_size(8192),
     )
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(0.5),
-        optax.adamw(5e-4, eps=1e-5, weight_decay=0.01),
+    optimizer = optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adamw(5e-4, eps=1e-5, weight_decay=0.01),
+        )
     )
     learner = PPOLearner(module, config, optimizer, variables, jax.random.PRNGKey(1))
 

@@ -49,9 +49,18 @@ class PPOConfig:
 
     Defaults mirror reference ``PPOAgent.__init__`` (ppo.py:29-47).
     ``shuffle``:
-      * "global" — exact reference semantics: one permutation over the
-        flattened (num_envs * n_steps) batch per epoch.
-      * "tiled"  — communication-free multi-chip variant: independent
+      * "global"  — exact reference semantics: one permutation over the
+        flattened (num_envs * n_steps) batch per epoch. Row-level random
+        gathers — fine on CPU/GPU, latency-bound (~1us/row DMA) on TPU.
+      * "grouped" — TPU-native: the flat buffer is treated as contiguous
+        groups of ``group_size`` samples and the per-epoch permutation
+        shuffles GROUPS; each minibatch gathers batch_size/group_size
+        large contiguous chunks (big DMAs, ~10x faster than row gathers).
+        With time-major flattening a group = ``group_size`` adjacent envs
+        at one timestep — envs are independent games, so within-group
+        samples are nearly i.i.d. and the shuffle is statistically
+        equivalent to "global".
+      * "tiled"   — communication-free multi-chip variant: independent
         permutations within ``shard_groups`` contiguous env blocks, so
         minibatch gathers never cross shard boundaries on an env-sharded
         mesh. Statistically equivalent; documented deviation.
@@ -68,6 +77,7 @@ class PPOConfig:
     value_coef: float = 0.5
     shuffle: str = "global"
     shard_groups: int = 1
+    group_size: int = 128
 
     @property
     def total_batch(self) -> int:
@@ -84,6 +94,15 @@ class PPOConfig:
     @property
     def updates_per_iteration(self) -> int:
         return self.ppo_epochs * self.num_minibatches
+
+
+def pick_group_size(batch_size: int, target: int = 128) -> int:
+    """Largest power-of-two divisor of ``batch_size`` not exceeding
+    ``target`` — the "grouped" shuffle's DMA chunk length."""
+    g = 1
+    while g * 2 <= target and batch_size % (g * 2) == 0:
+        g *= 2
+    return g
 
 
 @dataclasses.dataclass
@@ -124,7 +143,9 @@ def _train_forward(module, params, batch_stats, observation):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("module", "config", "opponent_apply")
+    jax.jit,
+    static_argnames=("module", "config", "opponent_apply"),
+    donate_argnames=("sp_state", "obs"),
 )
 def rollout(
     module,
@@ -191,7 +212,17 @@ def rollout(
 
 
 def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
-    """Per-epoch shuffled index matrix (num_minibatches, batch_size)."""
+    """Per-epoch shuffled index matrix.
+
+    (num_minibatches, batch_size) row indices for "global"/"tiled", or
+    (num_minibatches, batch_size // group_size) GROUP indices for "grouped".
+    """
+    if config.shuffle == "grouped":
+        n_groups = config.total_batch // config.group_size
+        perm = jax.random.permutation(rng, n_groups)
+        return perm.reshape(
+            config.num_minibatches, config.batch_size // config.group_size
+        )
     n = config.total_batch
     if config.shuffle == "tiled" and config.shard_groups > 1:
         g = config.shard_groups
@@ -214,7 +245,13 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
     return perm.reshape(config.num_minibatches, config.batch_size)
 
 
-@functools.partial(jax.jit, static_argnames=("module", "config", "optimizer"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("module", "config", "optimizer"),
+    # params/batch_stats are deliberately NOT donated: opponent-pool and
+    # benchmark snapshots alias those buffers across iterations.
+    donate_argnames=("opt_state", "traj"),
+)
 def update(
     module,
     config: PPOConfig,
@@ -244,10 +281,35 @@ def update(
         config.gae_lambda,
     )
 
-    # Flatten env-major so an env-sharded mesh keeps each env's samples on
-    # its own shard: (T, E, ...) -> (E*T, ...).
-    def flat(x):
-        return jnp.swapaxes(x, 0, 1).reshape((config.total_batch,) + x.shape[2:])
+    grouped = config.shuffle == "grouped"
+    if grouped:
+        assert config.total_batch % config.group_size == 0
+        assert config.batch_size % config.group_size == 0
+
+        # Time-major flatten (no transpose): row t*E+e, so a contiguous
+        # group of ``group_size`` rows = adjacent envs at one timestep.
+        # The buffers are then viewed as (n_groups, group_size, ...) and
+        # minibatches gather whole groups — large contiguous DMAs instead
+        # of latency-bound row gathers.
+        def flat(x):
+            return x.reshape(
+                (config.total_batch // config.group_size, config.group_size)
+                + x.shape[2:]
+            )
+
+    else:
+        # Flatten env-major so an env-sharded mesh keeps each env's samples
+        # on its own shard: (T, E, ...) -> (E*T, ...).
+        def flat(x):
+            return jnp.swapaxes(x, 0, 1).reshape(
+                (config.total_batch,) + x.shape[2:]
+            )
+
+    # Buffer-global advantage normalization with Bessel-corrected std
+    # (rollout_buffer.py:94-97; torch .std() is ddof=1).
+    advantages = (advantages - advantages.mean()) / (
+        advantages.std(ddof=1) + 1e-8
+    )
 
     b_obs = flat(traj["obs"])
     b_mask = flat(traj["mask"])
@@ -256,17 +318,18 @@ def update(
     b_returns = flat(returns)
     b_adv = flat(advantages)
 
-    # Buffer-global advantage normalization with Bessel-corrected std
-    # (rollout_buffer.py:94-97; torch .std() is ddof=1).
-    b_adv = (b_adv - b_adv.mean()) / (b_adv.std(ddof=1) + 1e-8)
-
     def loss_fn(params, batch_stats, idx):
-        obs = jnp.take(b_obs, idx, axis=0)
-        mask = jnp.take(b_mask, idx, axis=0)
-        actions = jnp.take(b_actions, idx, axis=0)
-        old_logp = jnp.take(b_old_logp, idx, axis=0)
-        rets = jnp.take(b_returns, idx, axis=0)
-        adv = jnp.take(b_adv, idx, axis=0)
+        def take(x):
+            picked = jnp.take(x, idx, axis=0)
+            return picked.reshape((config.batch_size,) + x.shape[2:]) if grouped \
+                else picked
+
+        obs = take(b_obs)
+        mask = take(b_mask)
+        actions = take(b_actions)
+        old_logp = take(b_old_logp)
+        rets = take(b_returns)
+        adv = take(b_adv)
 
         logits, value, batch_stats = _train_forward(module, params, batch_stats, obs)
         mlogits = mask_logits(logits, mask)

@@ -25,6 +25,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import warnings  # noqa: E402
+
+warnings.filterwarnings("ignore", message="Some donated buffers were not usable")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -168,6 +168,37 @@ def test_ppo_deterministic_under_fixed_seed():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_minibatch_indices_cover_everything_once():
+    from rl_selfplay_mnk_tpu.alg.ppo import PPOConfig, _minibatch_indices
+    from rl_selfplay_mnk_tpu.env import EnvConfig
+
+    base = dict(env=EnvConfig(3, 3, 3), num_envs=32, n_steps=16, batch_size=128)
+    for mode, kwargs, n_expected in [
+        ("global", {}, 512),
+        ("tiled", {"shard_groups": 4}, 512),
+        ("grouped", {"group_size": 16}, 32),  # 512/16 groups
+    ]:
+        cfg = PPOConfig(**base, shuffle=mode, **kwargs)
+        idx = _minibatch_indices(cfg, jax.random.PRNGKey(0))
+        flat = np.sort(np.asarray(idx).ravel())
+        np.testing.assert_array_equal(flat, np.arange(n_expected))
+
+
+def test_grouped_shuffle_trains_equivalently():
+    """grouped mode must run and produce finite, comparable metrics."""
+    learner, _, _ = _make_learner()
+    learner.config = dataclasses_replace_shuffle(learner.config, "grouped", 16)
+    rp = RandomPolicy()
+    m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert np.isfinite(m.actor_loss) and np.isfinite(m.approx_kl)
+
+
+def dataclasses_replace_shuffle(cfg, mode, group):
+    import dataclasses
+
+    return dataclasses.replace(cfg, shuffle=mode, group_size=group)
+
+
 @pytest.mark.slow
 def test_ppo_learns_tictactoe_vs_random():
     """The PR1 end-to-end slice: win rate vs random must climb well above
