@@ -35,11 +35,17 @@ from .lines import line_matrix
 
 
 class EnvConfig(NamedTuple):
-    """Static board geometry. Hashable so it can close over jitted fns."""
+    """Static board geometry. Hashable so it can close over jitted fns.
+
+    ``use_pallas`` routes ``step`` through the fused Pallas kernel
+    (ops/pallas_env.py) instead of the XLA op graph — bit-identical
+    results, single-kernel execution.
+    """
 
     m: int
     n: int
     k: int
+    use_pallas: bool = False
 
     @property
     def num_actions(self) -> int:
@@ -145,6 +151,24 @@ def step(
     mn = cfg.num_actions
     if active is None:
         active = jnp.ones((e,), dtype=bool)
+
+    if cfg.use_pallas:
+        from ..ops.pallas_env import fused_step  # lazy: avoids import cycle
+
+        tile = 512
+        while tile > 1 and e % tile:
+            tile //= 2
+        interpret = jax.default_backend() == "cpu"
+        new_state, rewards, dones, _ = fused_step(
+            cfg._replace(use_pallas=False),
+            state,
+            actions,
+            active,
+            tile_envs=tile,
+            interpret=interpret,
+        )
+        return new_state, rewards, dones
+
     active_f = active.astype(jnp.float32)
 
     # Dense stone placement: outer product of (action one-hot) x (player

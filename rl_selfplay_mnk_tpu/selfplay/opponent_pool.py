@@ -91,19 +91,36 @@ def pool_sample(pool: DevicePool, rng: jax.Array) -> Any:
 
 
 class OpponentPool:
-    """Host-side facade with the reference API (opponent_pool.py:5-19)."""
+    """Host-side facade with the reference API (opponent_pool.py:5-19).
 
-    def __init__(self, max_size: int = 5, seed: Optional[int] = None):
+    Default sampling is uniform (the reference's actual behavior). Passing
+    ``weighted=True`` enables the performance-based weighted sampling the
+    reference README promises but never implements (SURVEY.md §2.1): each
+    snapshot carries a weight (e.g. its validation score rate at insertion)
+    and sampling is proportional.
+    """
+
+    def __init__(
+        self,
+        max_size: int = 5,
+        seed: Optional[int] = None,
+        weighted: bool = False,
+    ):
         self.max_size = max_size
         self.pool: deque = deque(maxlen=max_size)
+        self.weights: deque = deque(maxlen=max_size)
+        self.weighted = weighted
         self._rng = random.Random(seed)
 
-    def add_opponent(self, opponent: Any) -> None:
+    def add_opponent(self, opponent: Any, weight: float = 1.0) -> None:
         self.pool.append(opponent)
+        self.weights.append(max(float(weight), 1e-6))
 
     def get_random_opponent(self) -> Optional[Any]:
         if not self.pool:
             return None
+        if self.weighted:
+            return self._rng.choices(list(self.pool), weights=list(self.weights))[0]
         return self._rng.choice(list(self.pool))
 
     def size(self) -> int:

@@ -86,13 +86,17 @@ def get_default_config() -> Dict[str, Any]:
         "checkpoint_dir": None,  # default: checkpoints/<run_name>
         "resume": False,
         "use_mesh": True,  # shard envs over all local devices when >1
+        "use_pallas": False,  # fused Pallas env-step kernel
+        "pool_weighted": False,  # score-weighted opponent sampling (extension)
     }
 
 
 def create_learner(config: Dict[str, Any], hw, mesh=None):
     """Network + optimizer + PPO learner (reference create_agent, train.py:36-83)."""
     m, n, k = config["mnk"]
-    env_cfg = EnvConfig(m, n, k).validate()
+    env_cfg = EnvConfig(
+        m, n, k, use_pallas=config.get("use_pallas", False)
+    ).validate()
     obs_shape = (2, m, n)
     action_dim = m * n
 
@@ -172,26 +176,43 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     # Benchmark starts as the UNTRAINED network (reference :96) and the pool
     # is seeded with one snapshot (:98-99).
     benchmark_variables = learner.variables
-    pool = OpponentPool(max_size=config["opponent_pool"], seed=config["seed"])
+    pool = OpponentPool(
+        max_size=config["opponent_pool"],
+        seed=config["seed"],
+        weighted=config.get("pool_weighted", False),
+    )
     pool.add_opponent(learner.variables)
+    last_score_rate = 1.0  # weight for score-weighted pool insertion
 
     steps_per_iteration = config["num_envs"] * config["n_steps"]
     total_iterations = config["total_environment_steps"] // steps_per_iteration
 
     ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
     ckpt_interval = config.get("checkpoint_interval", 0)
-    start_iteration = 0
-    if config.get("resume"):
-        template = {
+
+    def checkpoint_state(iteration: int) -> dict:
+        """Fixed-structure train-state pytree (orbax restore requires a
+        static template, so the pool is padded to max_size)."""
+        entries = list(pool.pool)
+        weights = list(pool.weights)
+        while len(entries) < pool.max_size:
+            entries.append(learner.variables)
+            weights.append(1.0)
+        return {
             "params": learner.params,
             "batch_stats": learner.batch_stats,
             "opt_state": learner.opt_state,
             "benchmark": benchmark_variables,
-            "pool": list(pool.pool),
+            "pool": entries,
+            "pool_weights": weights,
+            "pool_count": len(pool.pool),
             "rng": learner.rng,
-            "iteration": 0,
+            "iteration": iteration,
         }
-        state, step = restore_checkpoint(ckpt_dir, template)
+
+    start_iteration = 0
+    if config.get("resume"):
+        state, step = restore_checkpoint(ckpt_dir, checkpoint_state(0))
         if state is not None:
             learner.params = state["params"]
             learner.batch_stats = state["batch_stats"]
@@ -199,8 +220,10 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             learner.rng = state["rng"]
             benchmark_variables = state["benchmark"]
             pool.pool.clear()
-            for entry in state["pool"]:
-                pool.add_opponent(entry)
+            pool.weights.clear()
+            count = int(state["pool_count"])
+            for entry, w in zip(state["pool"][:count], state["pool_weights"][:count]):
+                pool.add_opponent(entry, weight=float(w))
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
             print(f"Resumed from checkpoint at iteration {start_iteration}")
@@ -242,7 +265,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             )
 
             if i % 20 == 0:
-                pool.add_opponent(learner.variables)
+                pool.add_opponent(learner.variables, weight=last_score_rate)
 
             if i > 0 and i % config["validation_interval"] == 0:
                 print(
@@ -261,6 +284,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 logger.log(validation_res, step=current_env_steps)
 
                 score_rate = validation_res["validation/vs_benchmark/score_rate"]
+                last_score_rate = max(score_rate, 1e-3)
                 win_rate = validation_res["validation/vs_benchmark/win_rate"]
                 draw_rate = validation_res["validation/vs_benchmark/draw_rate"]
                 loss_rate = validation_res["validation/vs_benchmark/loss_rate"]
@@ -292,19 +316,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                     )
 
             if ckpt_interval and i > 0 and i % ckpt_interval == 0:
-                save_checkpoint(
-                    ckpt_dir,
-                    i,
-                    {
-                        "params": learner.params,
-                        "batch_stats": learner.batch_stats,
-                        "opt_state": learner.opt_state,
-                        "benchmark": benchmark_variables,
-                        "pool": list(pool.pool),
-                        "rng": learner.rng,
-                        "iteration": i,
-                    },
-                )
+                save_checkpoint(ckpt_dir, i, checkpoint_state(i))
 
         except Exception as e:  # reference :162-164: log and continue
             handle_training_error(logger, e, i, current_env_steps)

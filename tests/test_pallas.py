@@ -12,6 +12,20 @@ from rl_selfplay_mnk_tpu.env import EnvConfig, make_env_state, observe, step
 from rl_selfplay_mnk_tpu.ops.pallas_env import fused_step
 
 
+def test_env_config_pallas_dispatch():
+    """EnvConfig(use_pallas=True) must route step() through the kernel and
+    produce identical results (interpret mode on CPU)."""
+    cfg = EnvConfig(3, 3, 3)
+    cfg_p = EnvConfig(3, 3, 3, use_pallas=True)
+    s = make_env_state(cfg, 8)
+    a = jnp.arange(8, dtype=jnp.int32) % 9
+    s1, r1, d1 = step(cfg, s, a)
+    s2, r2, d2 = step(cfg_p, s, a)
+    np.testing.assert_array_equal(np.asarray(s1.boards), np.asarray(s2.boards))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
 def test_fused_step_matches_xla_random_playout():
     cfg = EnvConfig(5, 5, 4)
     e = 64

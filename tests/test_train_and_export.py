@@ -120,6 +120,64 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["iteration"]) == 7
 
 
+def test_weighted_pool_sampling():
+    pool = OpponentPool(max_size=4, seed=0, weighted=True)
+    pool.add_opponent("weak", weight=0.01)
+    pool.add_opponent("strong", weight=10.0)
+    draws = [pool.get_random_opponent() for _ in range(200)]
+    assert draws.count("strong") > 150
+
+
+def test_train_mnk_resume_roundtrip(tmp_path, monkeypatch):
+    """Checkpoint mid-run, then resume: training continues from the saved
+    iteration (capability the reference lacks)."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=8,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=1,
+        total_environment_steps=8 * 8 * 5,  # 5 iterations
+        validation_interval=100,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=False,
+        checkpoint_interval=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        entropy_coef_schedule=None,
+    )
+    logger = MetricsLogger(
+        run_name="r1", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk(config, logger)
+    logger.finish()
+
+    # resume: should start at iteration 5 (after checkpoint at 4) and only
+    # run iteration 5 of 6 when total steps extended
+    config["resume"] = True
+    config["total_environment_steps"] = 8 * 8 * 7  # 7 iterations now
+    logger2 = MetricsLogger(
+        run_name="r2", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk(config, logger2)
+    logger2.finish()
+
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "r2.jsonl")]
+    steps = [r["_step"] for r in lines if "training/mean_reward" in r]
+    # resumed run starts past the checkpointed iteration (4): first logged
+    # training step is for iteration 5 (step 6*64) or later
+    assert steps and min(steps) >= 8 * 8 * 5
+    assert not any(k.startswith("error/") for rec in lines for k in rec)
+
+
 def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
     """Full loop on 3x3x3 for a handful of iterations: metrics written,
     models exported, validation executed."""
