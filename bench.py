@@ -89,14 +89,129 @@ def run_bench(num_envs: int, n_steps: int, iters: int, warmup: int, arch: str):
     }
 
 
+def run_learning_bench(iters: int, arch: str, seed: int = 0):
+    """Train the reference default config (9x9x5, 384 envs) for ``iters``
+    iterations of full self-play PPO (opponent schedule included), then
+    report win rate vs a random policy — the second tracked metric
+    (BASELINE.md: win-rate vs random at 500 iters)."""
+    import random as _random
+
+    from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
+    from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
+    from rl_selfplay_mnk_tpu.alg.schedules import entropy_coef_at, make_lr_schedule
+    from rl_selfplay_mnk_tpu.env import EnvConfig
+    from rl_selfplay_mnk_tpu.models.registry import (
+        create_model_from_architecture,
+        init_network,
+        make_apply_fns,
+    )
+    from rl_selfplay_mnk_tpu.selfplay import RandomPolicy, validate
+    from rl_selfplay_mnk_tpu.selfplay.opponent_pool import OpponentPool
+    from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
+    from rl_selfplay_mnk_tpu.utils.hardware import detect_hardware_config
+
+    hw = detect_hardware_config()
+    env_cfg = EnvConfig(9, 9, 5)
+    num_envs, n_steps, batch = 384, 256, 8192
+    module, _ = create_model_from_architecture(
+        arch, (2, 9, 9), 81, dtype=hw.compute_dtype
+    )
+    variables = init_network(module, (2, 9, 9), jax.random.PRNGKey(seed))
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=n_steps,
+        batch_size=batch,
+        ppo_epochs=4,
+        shuffle="grouped" if hw.is_accelerator else "global",
+        group_size=pick_group_size(batch),
+    )
+    lr_schedule = make_lr_schedule(
+        5e-4, 5_000_000, iters * num_envs * n_steps, num_envs, n_steps,
+        config.updates_per_iteration,
+    )
+    optimizer = optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01),
+        )
+    )
+    learner = PPOLearner(
+        module, config, optimizer, variables, jax.random.PRNGKey(seed + 1)
+    )
+    pool = OpponentPool(max_size=20, seed=seed)
+    pool.add_opponent(learner.variables)
+    ent_schedule = {
+        "type": "linear",
+        "params": {"final_coef": 0.001, "total_steps": 125_000_000},
+    }
+    host_rng = _random.Random(seed)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        opponent = (
+            pool.get_random_opponent()
+            if host_rng.random() < 0.15
+            else learner.variables
+        )
+        ent = entropy_coef_at(0.04, ent_schedule, i, num_envs, n_steps)
+        m = learner.learn(policy_act, opponent, ent)
+        if i % 20 == 0:
+            pool.add_opponent(learner.variables)
+        if i % 25 == 0:
+            print(
+                f"# iter {i}: reward {m.mean_reward:+.3f} len {m.mean_length:.1f} "
+                f"ent {-m.entropy_loss:.3f} ({time.perf_counter()-t0:.0f}s)",
+                file=sys.stderr,
+            )
+    train_time = time.perf_counter() - t0
+
+    rp = RandomPolicy()
+    res = validate(
+        env_cfg, policy_act, learner.variables, rp.apply, rp.params,
+        1024, jax.random.PRNGKey(seed + 99),
+    )
+    return {
+        "win_rate": res["validation/vs_benchmark/win_rate"],
+        "score_rate": res["validation/vs_benchmark/score_rate"],
+        "train_time": train_time,
+        "iters": iters,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["throughput", "learning"],
+                        default="throughput")
     parser.add_argument("--num-envs", type=int, default=8192)
     parser.add_argument("--n-steps", type=int, default=256)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--arch", default="resnet_b_s")
     args = parser.parse_args()
+
+    if args.mode == "learning":
+        iters = args.iters if args.iters != 3 else 500
+        res = run_learning_bench(iters, args.arch)
+        print(
+            f"# trained {res['iters']} iters in {res['train_time']:.0f}s; "
+            f"score_rate vs random {res['score_rate']:.3f}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"win_rate_vs_random_{res['iters']}iters",
+                    "value": round(res["win_rate"], 4),
+                    "unit": "fraction",
+                    "vs_baseline": round(res["win_rate"], 4),
+                }
+            )
+        )
+        return
 
     res = run_bench(args.num_envs, args.n_steps, args.iters, args.warmup, args.arch)
     print(
