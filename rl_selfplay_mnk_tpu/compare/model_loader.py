@@ -15,6 +15,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Tuple
 
+from ..models.fold_bn import fold_batchnorm
 from ..models.registry import make_apply_fns
 from ..selfplay.policies import make_network_policy
 from ..utils.model_export import ModelMetadata, get_models_from_directory, load_any_model
@@ -39,6 +40,9 @@ class ModelInfo:
         if self._loaded is None:
             module, variables, metadata = load_any_model(self.model_dir, self.model_id)
             self.metadata = metadata
+            # Tournament policies are eval-mode: fold BatchNorm into the
+            # convs so match play skips every norm op.
+            variables = fold_batchnorm(variables)
             eval_apply, _ = make_apply_fns(module)
             self._loaded = (module, variables, make_network_policy(eval_apply))
         return self._loaded

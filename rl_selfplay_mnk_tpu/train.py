@@ -174,8 +174,12 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     policy_act = make_network_policy(eval_apply)
 
     # Benchmark starts as the UNTRAINED network (reference :96) and the pool
-    # is seeded with one snapshot (:98-99).
-    benchmark_variables = learner.variables
+    # is seeded with one snapshot (:98-99). Benchmarks only ever run
+    # eval-mode forwards, so their BN is folded into the convs.
+    from .models.fold_bn import fold_batchnorm
+
+    fold_jit = jax.jit(fold_batchnorm)
+    benchmark_variables = fold_jit(learner.variables)
     pool = OpponentPool(
         max_size=config["opponent_pool"],
         seed=config["seed"],
@@ -295,7 +299,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
 
                 if score_rate > config["benchmark_update_threshold_score"]:
                     print(f"--- New benchmark agent at step {i}! ---")
-                    benchmark_variables = learner.variables
+                    benchmark_variables = fold_jit(learner.variables)
                     exporter.export_model(
                         learner.variables,
                         config["architecture_name"],
