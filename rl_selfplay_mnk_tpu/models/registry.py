@@ -12,6 +12,7 @@ Parity with ``ARCHITECTURE_REGISTRY`` (reference src/utils/model_export.py:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -112,6 +113,7 @@ def init_network(module, obs_shape: Tuple[int, int, int], rng: jax.Array) -> dic
     return variables
 
 
+@functools.lru_cache(maxsize=None)
 def make_apply_fns(module):
     """Build the two apply flavors used across the framework.
 

@@ -16,6 +16,7 @@ Policy act signature (pure):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -53,6 +54,7 @@ def RandomPolicy() -> Policy:
     return Policy(apply=_random_act, params=None)
 
 
+@functools.lru_cache(maxsize=None)
 def make_network_policy(network_apply: Callable) -> Callable:
     """Lift a network apply into a policy act function.
 
