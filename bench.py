@@ -68,14 +68,16 @@ def run_bench(num_envs: int, n_steps: int, iters: int, warmup: int, arch: str):
     for _ in range(warmup):
         learner.learn(policy_act, opponent, entropy_coef=0.01)
 
+    # one precisely-timed iteration for the phase split...
+    m = learner.learn(policy_act, opponent, entropy_coef=0.01)
+    rollout_t = m.rollout_time * iters
+    learn_t = m.learn_time * iters
+
+    # ...then the throughput measurement with no mid-iteration syncs
     steps_per_iter = num_envs * n_steps
     t0 = time.perf_counter()
-    rollout_t = 0.0
-    learn_t = 0.0
     for _ in range(iters):
-        m = learner.learn(policy_act, opponent, entropy_coef=0.01)
-        rollout_t += m.rollout_time
-        learn_t += m.learn_time
+        learner.learn(policy_act, opponent, entropy_coef=0.01, precise_timing=False)
     total = time.perf_counter() - t0
 
     throughput = steps_per_iter * iters / total

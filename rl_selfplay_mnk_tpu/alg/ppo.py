@@ -472,7 +472,15 @@ class PPOLearner:
         opponent_apply: Callable,
         opponent_params: Any,
         entropy_coef: float,
+        precise_timing: bool = True,
     ) -> TrainingMetrics:
+        """One training iteration (reference ppo.py:78-166).
+
+        ``precise_timing=False`` skips the device sync between the rollout
+        and update programs — both dispatch back-to-back and only the final
+        result is awaited. rollout_time/learn_time then both report the
+        combined pipeline time (fps stays correct as an aggregate rate).
+        """
         cfg = self.config
         if self._sp_state is None:
             self.reset_envs(opponent_apply, opponent_params)
@@ -497,10 +505,14 @@ class PPOLearner:
             self._obs,
             k_roll,
         )
-        jax.block_until_ready(traj)
-        rollout_time = time.perf_counter() - t0
         total_steps = cfg.n_steps * cfg.num_envs
-        fps = total_steps / rollout_time if rollout_time > 0 else 0.0
+        if precise_timing:
+            jax.block_until_ready(traj)
+            rollout_time = time.perf_counter() - t0
+            fps = total_steps / rollout_time if rollout_time > 0 else 0.0
+        else:
+            rollout_time = 0.0
+            fps = 0.0
 
         t1 = time.perf_counter()
         self.params, self.batch_stats, self.opt_state, metrics = update(
@@ -515,21 +527,29 @@ class PPOLearner:
             jnp.float32(entropy_coef),
             k_upd,
         )
-        jax.block_until_ready(self.params)
-        learn_time = time.perf_counter() - t1
+        # One batched host fetch resolves everything (and forces the whole
+        # pipeline to completion — float conversions are device syncs).
+        fin_dev, metrics_dev = jax.device_get((fin, metrics))
+        fin_host = [float(x) for x in fin_dev]
+        metrics_host = {k: float(v) for k, v in metrics_dev.items()}
+        if precise_timing:
+            learn_time = time.perf_counter() - t1
+        else:
+            rollout_time = learn_time = time.perf_counter() - t0
+            fps = total_steps / rollout_time if rollout_time > 0 else 0.0
 
-        fin_rew, fin_len, fin_cnt = (float(x) for x in fin)
+        fin_rew, fin_len, fin_cnt = fin_host
         self.iteration += 1
         return TrainingMetrics(
             mean_reward=fin_rew / fin_cnt if fin_cnt else 0.0,
             mean_length=fin_len / fin_cnt if fin_cnt else 0.0,
-            actor_loss=float(metrics["actor_loss"]),
-            critic_loss=float(metrics["critic_loss"]),
-            entropy_loss=float(metrics["entropy_loss"]),
-            grad_norm=float(metrics["grad_norm"]),
-            clip_fraction=float(metrics["clip_fraction"]),
-            explained_variance=float(metrics["explained_variance"]),
-            approx_kl=float(metrics["approx_kl"]),
+            actor_loss=metrics_host["actor_loss"],
+            critic_loss=metrics_host["critic_loss"],
+            entropy_loss=metrics_host["entropy_loss"],
+            grad_norm=metrics_host["grad_norm"],
+            clip_fraction=metrics_host["clip_fraction"],
+            explained_variance=metrics_host["explained_variance"],
+            approx_kl=metrics_host["approx_kl"],
             fps=fps,
             rollout_time=rollout_time,
             learn_time=learn_time,
