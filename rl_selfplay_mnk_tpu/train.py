@@ -158,6 +158,17 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     if logger is None:
         logger = MetricsLogger(project="mnk", config=config)
 
+    # Multi-host bring-up (TPU pods): one process per host, envs sharded
+    # over the global device set. No-op single-process.
+    if config.get("multihost"):
+        from .parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator_address=config.get("coordinator_address"),
+            num_processes=config.get("num_processes"),
+            process_id=config.get("process_id"),
+        )
+
     hw = detect_hardware_config()
     mesh = None
     if config.get("use_mesh", True) and hw.num_devices > 1:
