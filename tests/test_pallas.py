@@ -12,6 +12,46 @@ from rl_selfplay_mnk_tpu.env import EnvConfig, make_env_state, observe, step
 from rl_selfplay_mnk_tpu.ops.pallas_env import fused_step
 
 
+def test_fused_residual_block_matches_xla():
+    from jax import lax
+
+    from rl_selfplay_mnk_tpu.ops.pallas_resnet import (
+        conv_kernel_to_im2col,
+        fused_residual_block,
+    )
+
+    rng = np.random.default_rng(0)
+    b, m, n, c = 8, 5, 5, 16
+    x = jnp.asarray(rng.normal(size=(b, m, n, c)).astype(np.float32))
+    k1 = jnp.asarray((rng.normal(size=(3, 3, c, c)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=(c,)) * 0.1).astype(np.float32))
+    k2 = jnp.asarray((rng.normal(size=(3, 3, c, c)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=(c,)) * 0.1).astype(np.float32))
+
+    def xla_block(x):
+        dn = ("NHWC", "HWIO", "NHWC")
+        h = lax.conv_general_dilated(x, k1, (1, 1), "SAME", dimension_numbers=dn) + b1
+        h = jnp.maximum(h, 0)
+        y = lax.conv_general_dilated(h, k2, (1, 1), "SAME", dimension_numbers=dn) + b2
+        return jnp.maximum(y + x, 0)
+
+    want = np.asarray(xla_block(x))
+    got = np.asarray(
+        fused_residual_block(
+            x.reshape(b, m * n, c),
+            conv_kernel_to_im2col(k1),
+            b1,
+            conv_kernel_to_im2col(k2),
+            b2,
+            m,
+            n,
+            tile_boards=4,
+            interpret=True,
+        )
+    ).reshape(b, m, n, c)
+    np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
+
+
 def test_env_config_pallas_dispatch():
     """EnvConfig(use_pallas=True) must route step() through the kernel and
     produce identical results (interpret mode on CPU)."""
