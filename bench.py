@@ -22,7 +22,14 @@ import jax.numpy as jnp
 import optax
 
 
-def run_bench(num_envs: int, n_steps: int, iters: int, warmup: int, arch: str):
+def run_bench(
+    num_envs: int,
+    n_steps: int,
+    iters: int,
+    warmup: int,
+    arch: str,
+    use_pallas: bool = False,
+):
     from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
     from rl_selfplay_mnk_tpu.env import EnvConfig
     from rl_selfplay_mnk_tpu.models.registry import (
@@ -34,7 +41,7 @@ def run_bench(num_envs: int, n_steps: int, iters: int, warmup: int, arch: str):
     from rl_selfplay_mnk_tpu.utils.hardware import detect_hardware_config
 
     hw = detect_hardware_config()
-    env_cfg = EnvConfig(9, 9, 5)
+    env_cfg = EnvConfig(9, 9, 5, use_pallas=use_pallas)
     module, _ = create_model_from_architecture(
         arch, (2, 9, 9), 81, dtype=hw.compute_dtype
     )
@@ -193,6 +200,8 @@ def main():
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--arch", default="resnet_b_s")
+    parser.add_argument("--use-pallas", action="store_true",
+                        help="fused Pallas env-step kernel")
     args = parser.parse_args()
 
     if args.mode == "learning":
@@ -215,7 +224,10 @@ def main():
         )
         return
 
-    res = run_bench(args.num_envs, args.n_steps, args.iters, args.warmup, args.arch)
+    res = run_bench(
+        args.num_envs, args.n_steps, args.iters, args.warmup, args.arch,
+        use_pallas=args.use_pallas,
+    )
     print(
         f"# rollout fps {res['rollout_fps']:.0f} | "
         f"rollout {res['rollout_time_per_iter']:.3f}s | "
