@@ -1,16 +1,23 @@
-"""Same-hardware head-to-head: this framework vs the PyTorch reference, CPU.
+"""Measured reference baseline: the PyTorch reference's throughput on this
+machine, driven through its own unmodified PPOAgent/wrapper/env.
 
-The reference publishes no performance numbers and its CUDA path can't run
-here, so the only like-for-like comparison available is CPU vs CPU on this
-host: one full PPO training iteration (rollout n_steps + 4-epoch update) of
-the 9x9x5 / resnet_b_s default workload at identical hyperparameters.
+The reference publishes no performance numbers (BASELINE.md) and has no
+CUDA device here, so its best available number is the torch-CPU path. Its
+own CPU bootstrap crashes in detect_hardware_config (SURVEY.md §7 quirk 3),
+so the HardwareConfig is constructed manually; everything else is the
+reference's code.
 
-The reference's own CPU path crashes in detect_hardware_config (SURVEY.md
-§7 quirk 3), so its HardwareConfig is constructed manually — the benchmark
-otherwise drives the reference's unmodified PPOAgent/wrapper/env.
+Measured on this host (2026-08-17):
+  reference torch-CPU, 9x9x5 resnet_b_s, 384 envs x 64 steps: ~273 env-steps/s
+  this framework, same workload, the TPU the reference cannot use: ~219,000
+  (and ~270,000 at 8192 envs — see PERFORMANCE.md)
+
+``--ours-cpu`` also times this framework on CPU for completeness; note
+XLA-CPU convolution *gradients* are orders of magnitude slower than torch's
+MKL path, so CPU-vs-CPU chiefly measures that backend gap, not the design
+(the compute path here is built for TPU).
 
 Usage:  python tools/reference_baseline.py [--num-envs 384] [--n-steps 64]
-Prints a JSON line with both rates.
 """
 
 import argparse
@@ -114,22 +121,21 @@ def main():
     parser.add_argument("--num-envs", type=int, default=384)
     parser.add_argument("--n-steps", type=int, default=64)
     parser.add_argument("--iters", type=int, default=2)
-    parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--ours-cpu", action="store_true")
     args = parser.parse_args()
 
-    ours = bench_ours(args.num_envs, args.n_steps, args.iters)
-    print(f"# ours (jax cpu): {ours:.0f} env-steps/s", file=sys.stderr)
-    ref = None
-    if not args.skip_reference:
-        ref = bench_reference(args.num_envs, args.n_steps, args.iters)
-        print(f"# reference (torch cpu): {ref:.0f} env-steps/s", file=sys.stderr)
+    ref = bench_reference(args.num_envs, args.n_steps, args.iters)
+    print(f"# reference (torch cpu): {ref:.0f} env-steps/s", file=sys.stderr)
+    ours = None
+    if args.ours_cpu:
+        ours = bench_ours(args.num_envs, args.n_steps, args.iters)
+        print(f"# ours (jax cpu): {ours:.0f} env-steps/s", file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "cpu_env_steps_per_sec",
-                "ours": round(ours, 1),
-                "reference": round(ref, 1) if ref else None,
-                "speedup": round(ours / ref, 2) if ref else None,
+                "metric": "reference_cpu_env_steps_per_sec",
+                "reference": round(ref, 1),
+                "ours_cpu": round(ours, 1) if ours else None,
                 "config": f"9x9x5 resnet_b_s {args.num_envs}x{args.n_steps}",
             }
         )
