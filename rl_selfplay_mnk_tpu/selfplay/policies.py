@@ -20,6 +20,7 @@ import functools
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp  # noqa: F401  (kept for policy implementations)
 
 from ..ops.masked import (
     mask_logits,
@@ -80,3 +81,40 @@ def make_network_policy(network_apply: Callable) -> Callable:
 def NNPolicy(network_apply: Callable, variables: Any) -> Policy:
     """Policy over a trained network's variables (params + batch_stats)."""
     return Policy(apply=make_network_policy(network_apply), params=variables)
+
+
+@functools.lru_cache(maxsize=None)
+def make_block_pooled_policy(network_apply: Callable, num_blocks: int) -> Callable:
+    """Per-env-block opponent assignment from a stacked parameter pool.
+
+    ``params`` is a pytree whose leaves carry a leading ``num_blocks`` axis
+    (e.g. K opponents gathered from the device pool). The env batch is
+    split into K contiguous blocks; block i plays against parameter set i.
+    One ``vmap`` over the stacked axis keeps total compute equal to a
+    single full-batch forward — this is the device-side-gather opponent
+    mixing the BASELINE.json north star calls for, beyond the reference's
+    one-opponent-per-iteration schedule.
+    """
+
+    def act(stacked_params, rng, obs, deterministic=False):
+        observation = obs["observation"]
+        mask = obs["action_mask"]
+        e = observation.shape[0]
+        assert e % num_blocks == 0, (
+            f"num_envs {e} must divide into {num_blocks} opponent blocks"
+        )
+        per = e // num_blocks
+        obs_blocks = observation.reshape((num_blocks, per) + observation.shape[1:])
+        mask_blocks = mask.reshape((num_blocks, per) + mask.shape[1:])
+
+        def one(params, ob, mb):
+            logits, _ = network_apply(params, ob, mb, train=False)
+            return mask_logits(logits, mb)
+
+        logits = jax.vmap(one)(stacked_params, obs_blocks, mask_blocks)
+        logits = logits.reshape(e, -1)
+        if deterministic:
+            return masked_argmax(logits)
+        return masked_sample(rng, logits)
+
+    return act

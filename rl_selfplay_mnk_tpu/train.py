@@ -88,6 +88,10 @@ def get_default_config() -> Dict[str, Any]:
         "use_mesh": True,  # shard envs over all local devices when >1
         "use_pallas": False,  # fused Pallas env-step kernel
         "pool_weighted": False,  # score-weighted opponent sampling (extension)
+        # >1 = mixed-opponent iterations: the env batch splits into K blocks,
+        # each playing a different opponent gathered from the pool/snapshot
+        # (device-side stacked params + vmap; extension beyond the reference)
+        "opponents_per_iteration": 1,
     }
 
 
@@ -184,6 +188,18 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
 
+    k_opponents = int(config.get("opponents_per_iteration", 1))
+    if k_opponents > 1:
+        from .selfplay.policies import make_block_pooled_policy
+
+        assert config["num_envs"] % k_opponents == 0
+        opponent_act = make_block_pooled_policy(eval_apply, k_opponents)
+        stack_params = jax.jit(
+            lambda sets: jax.tree.map(lambda *xs: jnp.stack(xs), *sets)
+        )
+    else:
+        opponent_act = policy_act
+
     # Benchmark starts as the UNTRAINED network (reference :96) and the pool
     # is seeded with one snapshot (:98-99). Benchmarks only ever run
     # eval-mode forwards, so their BN is folded into the convs.
@@ -250,17 +266,20 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     for i in range(start_iteration, total_iterations):
         try:
             # 15% historical opponent / 85% current snapshot (reference :108-114).
-            if host_rng.random() < 0.15:
-                opponent_variables = pool.get_random_opponent()
-                logger.log(
-                    {"training/opponent_source": "historical"}, step=current_env_steps
-                )
+            def draw_opponent():
+                if host_rng.random() < 0.15:
+                    return pool.get_random_opponent(), "historical"
+                return learner.variables, "current_agent"
+
+            if k_opponents > 1:
+                draws = [draw_opponent() for _ in range(k_opponents)]
+                opponent_variables = stack_params([d[0] for d in draws])
+                source = ",".join(d[1] for d in draws)
             else:
-                opponent_variables = learner.variables
-                logger.log(
-                    {"training/opponent_source": "current_agent"},
-                    step=current_env_steps,
-                )
+                opponent_variables, source = draw_opponent()
+            logger.log(
+                {"training/opponent_source": source}, step=current_env_steps
+            )
 
             ent_coef = entropy_coef_at(
                 config["entropy_coef"],
@@ -269,7 +288,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 config["num_envs"],
                 config["n_steps"],
             )
-            metrics = learner.learn(policy_act, opponent_variables, ent_coef)
+            metrics = learner.learn(opponent_act, opponent_variables, ent_coef)
             current_env_steps = (i + 1) * steps_per_iteration
 
             current_lr = float(

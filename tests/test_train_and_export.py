@@ -120,6 +120,44 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["iteration"]) == 7
 
 
+def test_train_mnk_mixed_opponents(tmp_path, monkeypatch):
+    """opponents_per_iteration=2: env blocks play different opponents."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=8,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=1,
+        total_environment_steps=8 * 8 * 3,
+        validation_interval=100,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=False,
+        entropy_coef_schedule=None,
+        opponents_per_iteration=2,
+    )
+    logger = MetricsLogger(
+        run_name="mixed", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk(config, logger)
+    logger.finish()
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "mixed.jsonl")]
+    assert not any(k.startswith("error/") for rec in lines for k in rec)
+    sources = [
+        r["training/opponent_source"]
+        for r in lines
+        if "training/opponent_source" in r
+    ]
+    assert sources and all("," in s for s in sources)  # two draws per iter
+
+
 def test_weighted_pool_sampling():
     pool = OpponentPool(max_size=4, seed=0, weighted=True)
     pool.add_opponent("weak", weight=0.01)
