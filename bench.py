@@ -2,15 +2,18 @@
 
 Measures the full training iteration (self-play rollout + PPO update) on
 the reference's default workload — 9x9x5 board, resnet_b_s — at a
-TPU-appropriate env count, and prints ONE JSON line:
+TPU-appropriate env count, and prints ONE JSON line.
 
-    {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-     "vs_baseline": N / 10_000_000}
-
-``vs_baseline`` is the fraction of the BASELINE.json north star (10M
-aggregate env-steps/s). The reference publishes no numbers of its own
-(BASELINE.md), so the north star is the comparison point.
+``vs_baseline`` divides by the reference's measured throughput on this
+machine (273 env-steps/s — its torch-CPU path, the only one it can run
+here; measured by tools/reference_baseline.py through the reference's own
+unmodified code — the reference publishes no numbers of its own, see
+BASELINE.md). ``vs_north_star`` additionally reports the fraction of the
+10M-aggregate multi-chip north star.
 """
+
+REFERENCE_MEASURED_STEPS_PER_SEC = 273.0  # tools/reference_baseline.py
+NORTH_STAR_STEPS_PER_SEC = 10_000_000.0
 
 import argparse
 import json
@@ -241,7 +244,12 @@ def main():
                 "metric": "env_steps_per_sec",
                 "value": round(res["throughput"], 1),
                 "unit": "steps/s",
-                "vs_baseline": round(res["throughput"] / 10_000_000, 4),
+                "vs_baseline": round(
+                    res["throughput"] / REFERENCE_MEASURED_STEPS_PER_SEC, 2
+                ),
+                "vs_north_star": round(
+                    res["throughput"] / NORTH_STAR_STEPS_PER_SEC, 4
+                ),
             }
         )
     )
