@@ -205,11 +205,13 @@ def main():
     parser.add_argument("--arch", default="resnet_b_s")
     parser.add_argument("--use-pallas", action="store_true",
                         help="fused Pallas env-step kernel")
+    parser.add_argument("--learn-iters", type=int, default=500,
+                        help="training iterations for --mode learning")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     if args.mode == "learning":
-        iters = args.iters if args.iters != 3 else 500
-        res = run_learning_bench(iters, args.arch)
+        res = run_learning_bench(args.learn_iters, args.arch, seed=args.seed)
         print(
             f"# trained {res['iters']} iters in {res['train_time']:.0f}s; "
             f"score_rate vs random {res['score_rate']:.3f}",
