@@ -16,6 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.pallas_attention import tiny_head_attention
 from .common import ActorCriticHeads
 
 
@@ -28,7 +29,10 @@ class SGRBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         a = nn.LayerNorm(dtype=self.dtype)(x)
         a = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.embed_dim, dtype=self.dtype
+            num_heads=self.num_heads,
+            qkv_features=self.embed_dim,
+            dtype=self.dtype,
+            attention_fn=tiny_head_attention,
         )(a, a)
         g1 = nn.sigmoid(
             nn.Dense(

