@@ -136,7 +136,7 @@ def _attn_bwd_kernel(l_real, scale, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_heads", "interpret"))
-def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 64, interpret: bool = False):
+def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = False):
     bh, dh, l = q.shape
     scale = 1.0 / (dh**0.5)
     lp = ((l + 15) // 16) * 16
@@ -186,7 +186,7 @@ def _attention_bwd_rule(tile_heads, interpret, res, g):
     q, k, v = res
     return _attention_bwd_pallas(
         q, k, v, g.astype(q.dtype),
-        tile_heads=min(tile_heads, 64), interpret=interpret,
+        tile_heads=min(tile_heads, 32), interpret=interpret,
     )
 
 
