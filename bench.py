@@ -101,6 +101,204 @@ def run_bench(
     }
 
 
+def run_bench_fused(
+    num_envs: int,
+    n_steps: int,
+    iters: int,
+    warmup: int,
+    arch: str,
+    use_pallas: bool = False,
+):
+    """Throughput of the device-resident fused pipeline (alg/fused.py):
+    ``iters`` whole training iterations — opponent draws from the device
+    pool included — execute as ONE compiled program."""
+    from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
+    from rl_selfplay_mnk_tpu.alg.fused import train_block
+    from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
+    from rl_selfplay_mnk_tpu.alg.schedules import make_entropy_coef_fn
+    from rl_selfplay_mnk_tpu.env import EnvConfig
+    from rl_selfplay_mnk_tpu.models.registry import (
+        create_model_from_architecture,
+        init_network,
+        make_apply_fns,
+    )
+    from rl_selfplay_mnk_tpu.selfplay.opponent_pool import pool_add, pool_init
+    from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
+    from rl_selfplay_mnk_tpu.utils.hardware import detect_hardware_config
+
+    hw = detect_hardware_config()
+    env_cfg = EnvConfig(9, 9, 5, use_pallas=use_pallas)
+    module, _ = create_model_from_architecture(
+        arch, (2, 9, 9), 81, dtype=hw.compute_dtype
+    )
+    variables = init_network(module, (2, 9, 9), jax.random.PRNGKey(0))
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=n_steps,
+        batch_size=8192,
+        ppo_epochs=4,
+        shuffle="grouped" if hw.is_accelerator else "global",
+        group_size=pick_group_size(8192),
+    )
+    optimizer = optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adamw(5e-4, eps=1e-5, weight_decay=0.01),
+        )
+    )
+    learner = PPOLearner(module, config, optimizer, variables, jax.random.PRNGKey(1))
+    learner.reset_envs(policy_act, learner.variables)
+    pool = jax.jit(pool_init, static_argnames=("max_size",))(
+        learner.variables, max_size=20
+    )
+    pool = jax.jit(pool_add)(pool, learner.variables, 1.0)
+    entropy_fn = make_entropy_coef_fn(0.01, None, num_envs, n_steps)
+
+    state = (
+        learner.params, learner.batch_stats, learner.opt_state, pool,
+        learner._sp_state, learner._obs,
+    )
+    rng = jax.random.PRNGKey(2)
+
+    def block(state, rng, it0, length):
+        rng, k = jax.random.split(rng)
+        carry, stacked = train_block(
+            module, config, optimizer, policy_act, entropy_fn,
+            length, 0.15, 20,
+            *state[:6], k, jnp.int32(it0), jnp.float32(1.0),
+        )
+        return carry[:6], rng, stacked
+
+    it0 = 0
+    for _ in range(max(warmup, 1)):
+        state, rng, stacked = block(state, rng, it0, iters)
+        # device_get, not block_until_ready: the latter returns early on the
+        # tunnel backend and the warmup block would still be executing when
+        # the timed block starts (PERFORMANCE.md "Measurement notes")
+        jax.device_get(stacked)
+        it0 += iters
+
+    steps_per_iter = num_envs * n_steps
+    t0 = time.perf_counter()
+    state, rng, stacked = block(state, rng, it0, iters)
+    # a host fetch of the stacked metrics is part of the contract
+    jax.device_get(stacked)
+    total = time.perf_counter() - t0
+    return {
+        "throughput": steps_per_iter * iters / total,
+        "rollout_fps": 0.0,
+        "rollout_time_per_iter": 0.0,
+        "learn_time_per_iter": total / iters,
+        "steps_per_iter": steps_per_iter,
+    }
+
+
+def run_learning_bench_fused(iters: int, arch: str, seed: int = 0, block: int = 25):
+    """Learning bench through the device-resident fused pipeline: the full
+    opponent schedule (draws, pool inserts, entropy decay) runs on device in
+    blocks of ``block`` iterations; same final metric as run_learning_bench."""
+    from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
+    from rl_selfplay_mnk_tpu.alg.fused import train_block
+    from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
+    from rl_selfplay_mnk_tpu.alg.schedules import make_entropy_coef_fn, make_lr_schedule
+    from rl_selfplay_mnk_tpu.env import EnvConfig
+    from rl_selfplay_mnk_tpu.models.registry import (
+        create_model_from_architecture,
+        init_network,
+        make_apply_fns,
+    )
+    from rl_selfplay_mnk_tpu.selfplay import RandomPolicy, validate
+    from rl_selfplay_mnk_tpu.selfplay.opponent_pool import pool_add, pool_init
+    from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
+    from rl_selfplay_mnk_tpu.utils.hardware import detect_hardware_config
+
+    hw = detect_hardware_config()
+    env_cfg = EnvConfig(9, 9, 5)
+    num_envs, n_steps, batch = 384, 256, 8192
+    module, _ = create_model_from_architecture(
+        arch, (2, 9, 9), 81, dtype=hw.compute_dtype
+    )
+    variables = init_network(module, (2, 9, 9), jax.random.PRNGKey(seed))
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=n_steps,
+        batch_size=batch,
+        ppo_epochs=4,
+        shuffle="grouped" if hw.is_accelerator else "global",
+        group_size=pick_group_size(batch),
+    )
+    lr_schedule = make_lr_schedule(
+        5e-4, 5_000_000, iters * num_envs * n_steps, num_envs, n_steps,
+        config.updates_per_iteration,
+    )
+    optimizer = optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01),
+        )
+    )
+    learner = PPOLearner(
+        module, config, optimizer, variables, jax.random.PRNGKey(seed + 1)
+    )
+    learner.reset_envs(policy_act, learner.variables)
+    pool = jax.jit(pool_init, static_argnames=("max_size",))(
+        learner.variables, max_size=20
+    )
+    pool = jax.jit(pool_add)(pool, learner.variables, 1.0)
+    entropy_fn = make_entropy_coef_fn(
+        0.04,
+        {"type": "linear", "params": {"final_coef": 0.001,
+                                      "total_steps": 125_000_000}},
+        num_envs, n_steps,
+    )
+
+    state = (
+        learner.params, learner.batch_stats, learner.opt_state, pool,
+        learner._sp_state, learner._obs,
+    )
+    rng = jax.random.PRNGKey(seed + 2)
+    t0 = time.perf_counter()
+    i = 0
+    while i < iters:
+        length = min(block, iters - i)
+        rng, k = jax.random.split(rng)
+        carry, stacked = train_block(
+            module, config, optimizer, policy_act, entropy_fn,
+            length, 0.15, 20,
+            *state, k, jnp.int32(i), jnp.float32(1.0),
+        )
+        state = carry[:6]
+        rew = jax.device_get(stacked["fin_reward"]).sum()
+        cnt = jax.device_get(stacked["fin_count"]).sum()
+        i += length
+        print(
+            f"# fused iters {i}: mean reward {rew / max(cnt, 1):+.3f} "
+            f"({time.perf_counter() - t0:.0f}s)",
+            file=sys.stderr,
+        )
+    train_time = time.perf_counter() - t0
+
+    rp = RandomPolicy()
+    res = validate(
+        env_cfg, policy_act,
+        {"params": state[0], "batch_stats": state[1]},
+        rp.apply, rp.params, 1024, jax.random.PRNGKey(seed + 99),
+    )
+    return {
+        "win_rate": res["validation/vs_benchmark/win_rate"],
+        "score_rate": res["validation/vs_benchmark/score_rate"],
+        "train_time": train_time,
+        "iters": iters,
+    }
+
+
 def run_learning_bench(iters: int, arch: str, seed: int = 0):
     """Train the reference default config (9x9x5, 384 envs) for ``iters``
     iterations of full self-play PPO (opponent schedule included), then
@@ -205,13 +403,17 @@ def main():
     parser.add_argument("--arch", default="resnet_b_s")
     parser.add_argument("--use-pallas", action="store_true",
                         help="fused Pallas env-step kernel")
+    parser.add_argument("--fused", action="store_true",
+                        help="device-resident fused iteration blocks "
+                        "(alg/fused.py) for the throughput mode")
     parser.add_argument("--learn-iters", type=int, default=500,
                         help="training iterations for --mode learning")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     if args.mode == "learning":
-        res = run_learning_bench(args.learn_iters, args.arch, seed=args.seed)
+        learn_fn = run_learning_bench_fused if args.fused else run_learning_bench
+        res = learn_fn(args.learn_iters, args.arch, seed=args.seed)
         print(
             f"# trained {res['iters']} iters in {res['train_time']:.0f}s; "
             f"score_rate vs random {res['score_rate']:.3f}",
@@ -229,7 +431,8 @@ def main():
         )
         return
 
-    res = run_bench(
+    bench_fn = run_bench_fused if args.fused else run_bench
+    res = bench_fn(
         args.num_envs, args.n_steps, args.iters, args.warmup, args.arch,
         use_pallas=args.use_pallas,
     )

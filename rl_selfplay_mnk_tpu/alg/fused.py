@@ -1,0 +1,152 @@
+"""Device-resident fused training: whole iterations scanned in one program.
+
+The host loop in ``train.py`` (mirroring reference src/train.py:106-164)
+dispatches two programs per iteration and draws opponents with host RNG —
+at least one host round trip per iteration. That is fine on one chip where
+an iteration takes seconds, but on a pod every round trip stalls every
+chip, and on latency-bound links each dispatch costs milliseconds. This
+module moves the WHOLE iteration loop into one compiled program:
+
+  * opponent draws happen on device — 15% a (weighted) sample from the
+    ``DevicePool`` ring buffer, 85% the live parameters (reference
+    train.py:108-114), selected with a dense ``where`` so shapes stay
+    static;
+  * pool insertion every ``insert_interval`` iterations (reference
+    :122-123) is a masked ring-buffer write;
+  * the entropy coefficient is computed on device from the iteration index
+    (``schedules.make_entropy_coef_fn``);
+  * per-iteration metrics come back STACKED — one host fetch per block.
+
+Validation, benchmark promotion, export and checkpointing stay host-side
+at block boundaries; ``train_fused.train_mnk_fused`` sizes blocks so the
+boundaries land exactly on the reference's validation cadence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..selfplay.opponent_pool import DevicePool, pool_add, pool_sample
+from .ppo import PPOConfig, rollout_impl, update_impl
+
+
+def _select(pred: jax.Array, a: Any, b: Any) -> Any:
+    """Dense pytree select on a traced scalar predicate."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "module",
+        "config",
+        "optimizer",
+        "opponent_apply",
+        "entropy_fn",
+        "block_len",
+        "pool_prob",
+        "insert_interval",
+    ),
+    donate_argnames=(
+        "params",
+        "batch_stats",
+        "opt_state",
+        "pool",
+        "sp_state",
+        "obs",
+    ),
+)
+def train_block(
+    module,
+    config: PPOConfig,
+    optimizer,
+    opponent_apply: Callable,
+    entropy_fn: Callable,
+    block_len: int,
+    pool_prob: float,
+    insert_interval: int,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    pool: DevicePool,
+    sp_state,
+    obs: dict,
+    rng: jax.Array,
+    iteration0: jax.Array,
+    insert_weight: jax.Array,
+):
+    """Run iterations [iteration0, iteration0 + block_len) on device.
+
+    ``pool`` holds full variables dicts ({"params", "batch_stats"}).
+    ``insert_weight`` is the sampling weight attached to pool insertions
+    inside this block (the host passes the latest validation score rate in
+    weighted-pool mode; 1.0 otherwise — train.py:216,302 equivalent).
+
+    Returns ``(params, batch_stats, opt_state, pool, sp_state, obs, rng),
+    stacked`` where ``stacked`` maps metric name -> (block_len,) array:
+    the update diagnostics plus ``entropy_coef``, ``historical_opponent``
+    and the finished-episode sums (``fin_reward/fin_length/fin_count``)
+    from which the host derives mean_reward/mean_length per iteration.
+    """
+
+    def body(carry, i):
+        params, batch_stats, opt_state, pool, sp_state, obs, rng = carry
+        it = iteration0 + i
+        rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
+
+        # Opponent schedule (reference train.py:108-114): 15% historical
+        # from the pool, else a snapshot of the current network. The pool
+        # sample is a gather; both branches are merged with a dense select.
+        current = {"params": params, "batch_stats": batch_stats}
+        sampled = pool_sample(pool, k_pick)
+        historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
+        opponent = _select(historical, sampled, current)
+
+        sp_state, obs, batch_stats, traj, fin, _ = rollout_impl(
+            module,
+            config,
+            opponent_apply,
+            params,
+            batch_stats,
+            opponent,
+            sp_state,
+            obs,
+            k_roll,
+        )
+        ent_coef = entropy_fn(it)
+        params, batch_stats, opt_state, metrics = update_impl(
+            module,
+            config,
+            optimizer,
+            params,
+            batch_stats,
+            opt_state,
+            traj,
+            obs,
+            ent_coef,
+            k_upd,
+        )
+
+        # Pool insertion cadence (reference :122-123): every
+        # ``insert_interval`` iterations, post-update snapshot.
+        do_insert = (it % insert_interval) == 0
+        inserted = pool_add(
+            pool, {"params": params, "batch_stats": batch_stats}, insert_weight
+        )
+        pool = _select(do_insert, inserted, pool)
+
+        out = dict(metrics)
+        out["entropy_coef"] = ent_coef
+        out["historical_opponent"] = historical
+        out["fin_reward"], out["fin_length"], out["fin_count"] = fin
+        return (params, batch_stats, opt_state, pool, sp_state, obs, rng), out
+
+    carry = (params, batch_stats, opt_state, pool, sp_state, obs, rng)
+    carry, stacked = jax.lax.scan(
+        body, carry, jnp.arange(block_len, dtype=jnp.int32)
+    )
+    return carry, stacked

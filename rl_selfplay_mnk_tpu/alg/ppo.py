@@ -142,12 +142,7 @@ def _train_forward(module, params, batch_stats, observation):
     return logits, value, updated.get("batch_stats", batch_stats)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("module", "config", "opponent_apply"),
-    donate_argnames=("sp_state", "obs"),
-)
-def rollout(
+def rollout_impl(
     module,
     config: PPOConfig,
     opponent_apply: Callable,
@@ -211,6 +206,15 @@ def rollout(
     return sp_state, obs, batch_stats, traj, fin, rng
 
 
+# Jitted entry (host-driven loops); ``rollout_impl`` stays callable from
+# inside larger programs (alg/fused.py scans whole iterations around it).
+rollout = jax.jit(
+    rollout_impl,
+    static_argnames=("module", "config", "opponent_apply"),
+    donate_argnames=("sp_state", "obs"),
+)
+
+
 def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
     """Per-epoch shuffled index matrix.
 
@@ -245,14 +249,7 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
     return perm.reshape(config.num_minibatches, config.batch_size)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("module", "config", "optimizer"),
-    # params/batch_stats are deliberately NOT donated: opponent-pool and
-    # benchmark snapshots alias those buffers across iterations.
-    donate_argnames=("opt_state", "traj"),
-)
-def update(
+def update_impl(
     module,
     config: PPOConfig,
     optimizer,
@@ -405,6 +402,16 @@ def update(
     n_updates = config.updates_per_iteration
     metrics = {k: v / n_updates for k, v in sums.items()}
     return params, batch_stats, opt_state, metrics
+
+
+# Jitted entry for host-driven loops. params/batch_stats are deliberately
+# NOT donated: opponent-pool and benchmark snapshots alias those buffers
+# across iterations.
+update = jax.jit(
+    update_impl,
+    static_argnames=("module", "config", "optimizer"),
+    donate_argnames=("opt_state", "traj"),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,50 @@ def entropy_coef_at(
         decay_rate = params.get("decay_rate", 0.99)
         return float(initial_coef * (decay_rate ** (env_steps / 1000)))
     return float(initial_coef)
+
+
+def make_entropy_coef_fn(
+    initial_coef: float,
+    schedule: Optional[Dict[str, Any]],
+    num_envs: int,
+    n_steps: int,
+):
+    """Device-side counterpart of :func:`entropy_coef_at`.
+
+    Returns ``fn(iteration: traced int) -> f32 scalar`` with identical math,
+    for use INSIDE compiled programs (the fused multi-iteration trainer,
+    alg/fused.py, computes the coefficient on device so whole blocks of
+    iterations need no host input).
+    """
+    initial = float(initial_coef)
+    steps_per_iter = float(num_envs * n_steps)
+    stype = (schedule or {}).get("type", "constant")
+    params = (schedule or {}).get("params", {})
+
+    if schedule is not None and stype == "linear":
+        final = float(params.get("final_coef", 0.0))
+        total = float(params.get("total_steps", 10_000_000))
+
+        def fn(iteration):
+            env_steps = jnp.asarray(iteration, jnp.float32) * steps_per_iter
+            progress = jnp.clip(env_steps / total, 0.0, 1.0)
+            coef = initial * (1.0 - progress) + final * progress
+            return jnp.where(iteration <= 0, initial, coef).astype(jnp.float32)
+
+        return fn
+
+    if schedule is not None and stype == "exponential":
+        decay_rate = float(params.get("decay_rate", 0.99))
+
+        def fn(iteration):
+            env_steps = jnp.asarray(iteration, jnp.float32) * steps_per_iter
+            coef = initial * jnp.power(decay_rate, env_steps / 1000.0)
+            return jnp.where(iteration <= 0, initial, coef).astype(jnp.float32)
+
+        return fn
+
+    def fn(iteration):
+        del iteration
+        return jnp.float32(initial)
+
+    return fn

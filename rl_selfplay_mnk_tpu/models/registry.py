@@ -69,6 +69,13 @@ ARCHITECTURE_REGISTRY: Dict[str, Callable] = {
     "transformer_b_l": _tfm(96, 5, 8, 256),
     "transformer_c_s": _sgr(56, 2, 4, 128),
     "transformer_c_l": _sgr(96, 5, 8, 256),
+    # Speed tier (framework extension beyond the reference's 14 names):
+    # parameter-matched but MXU-shaped. resnet_b_s's 32-channel convs leave
+    # 75% of the 128-wide MXU output dimension idle (PERFORMANCE.md ceiling
+    # analysis); the _w variants spend the same parameter budget on wider,
+    # shallower stacks that pad the systolic array far better.
+    "resnet_b_s_w": _resnet(64, 1, 128),  # 118,587 params @9x9 (b_s: 118,203)
+    "resnet_b_l_w": _resnet(128, 2, 256),  # 679,739 params @9x9 (b_l: 665,627)
 }
 
 

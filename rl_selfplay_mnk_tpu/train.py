@@ -88,6 +88,9 @@ def get_default_config() -> Dict[str, Any]:
         "use_mesh": True,  # shard envs over all local devices when >1
         "use_pallas": False,  # fused Pallas env-step kernel
         "pool_weighted": False,  # score-weighted opponent sampling (extension)
+        # None = reference pool; "uniform"/"pfsp_hard"/"pfsp_even" = league
+        # matchmaking with per-member result tracking (selfplay/league.py)
+        "matchmaking": None,
         # >1 = mixed-opponent iterations: the env batch splits into K blocks,
         # each playing a different opponent gathered from the pool/snapshot
         # (device-side stacked params + vmap; extension beyond the reference)
@@ -207,11 +210,21 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
 
     fold_jit = jax.jit(fold_batchnorm)
     benchmark_variables = fold_jit(learner.variables)
-    pool = OpponentPool(
-        max_size=config["opponent_pool"],
-        seed=config["seed"],
-        weighted=config.get("pool_weighted", False),
-    )
+    matchmaking = config.get("matchmaking")
+    if matchmaking:
+        from .selfplay.league import League
+
+        pool = League(
+            max_size=config["opponent_pool"],
+            mode=matchmaking,
+            seed=config["seed"],
+        )
+    else:
+        pool = OpponentPool(
+            max_size=config["opponent_pool"],
+            seed=config["seed"],
+            weighted=config.get("pool_weighted", False),
+        )
     pool.add_opponent(learner.variables)
     last_score_rate = 1.0  # weight for score-weighted pool insertion
 
@@ -224,11 +237,25 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     def checkpoint_state(iteration: int) -> dict:
         """Fixed-structure train-state pytree (orbax restore requires a
         static template, so the pool is padded to max_size)."""
-        entries = list(pool.pool)
-        weights = list(pool.weights)
+        if matchmaking:
+            entries = [e.params for e in pool.entries]
+            weights = [float(e.score_ema) for e in pool.entries]
+            ids = [int(e.entry_id) for e in pool.entries]
+            games = [int(e.games) for e in pool.entries]
+            count = len(pool.entries)
+            next_id = pool._next_id
+        else:
+            entries = list(pool.pool)
+            weights = list(pool.weights)
+            ids = [0] * len(entries)
+            games = [0] * len(entries)
+            count = len(pool.pool)
+            next_id = 0
         while len(entries) < pool.max_size:
             entries.append(learner.variables)
             weights.append(1.0)
+            ids.append(0)
+            games.append(0)
         return {
             "params": learner.params,
             "batch_stats": learner.batch_stats,
@@ -236,7 +263,10 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             "benchmark": benchmark_variables,
             "pool": entries,
             "pool_weights": weights,
-            "pool_count": len(pool.pool),
+            "pool_ids": ids,
+            "pool_games": games,
+            "pool_next_id": next_id,
+            "pool_count": count,
             "rng": learner.rng,
             "iteration": iteration,
         }
@@ -250,11 +280,28 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             learner.opt_state = state["opt_state"]
             learner.rng = state["rng"]
             benchmark_variables = state["benchmark"]
-            pool.pool.clear()
-            pool.weights.clear()
             count = int(state["pool_count"])
-            for entry, w in zip(state["pool"][:count], state["pool_weights"][:count]):
-                pool.add_opponent(entry, weight=float(w))
+            if matchmaking:
+                pool.entries.clear()
+                for entry, w, pid, g in zip(
+                    state["pool"][:count],
+                    state["pool_weights"][:count],
+                    state["pool_ids"][:count],
+                    state["pool_games"][:count],
+                ):
+                    pool.add_opponent(entry)
+                    member = pool.entries[-1]
+                    member.entry_id = int(pid)
+                    member.score_ema = float(w)
+                    member.games = int(g)
+                pool._next_id = int(state["pool_next_id"])
+            else:
+                pool.pool.clear()
+                pool.weights.clear()
+                for entry, w in zip(
+                    state["pool"][:count], state["pool_weights"][:count]
+                ):
+                    pool.add_opponent(entry, weight=float(w))
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
             print(f"Resumed from checkpoint at iteration {start_iteration}")
@@ -268,15 +315,20 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             # 15% historical opponent / 85% current snapshot (reference :108-114).
             def draw_opponent():
                 if host_rng.random() < 0.15:
-                    return pool.get_random_opponent(), "historical"
-                return learner.variables, "current_agent"
+                    if matchmaking:
+                        entry_id, params = pool.get_opponent()
+                        return params, "historical", entry_id
+                    return pool.get_random_opponent(), "historical", None
+                return learner.variables, "current_agent", None
 
             if k_opponents > 1:
                 draws = [draw_opponent() for _ in range(k_opponents)]
                 opponent_variables = stack_params([d[0] for d in draws])
                 source = ",".join(d[1] for d in draws)
+                drawn_ids = [d[2] for d in draws if d[2] is not None]
             else:
-                opponent_variables, source = draw_opponent()
+                opponent_variables, source, drawn_id = draw_opponent()
+                drawn_ids = [drawn_id] if drawn_id is not None else []
             logger.log(
                 {"training/opponent_source": source}, step=current_env_steps
             )
@@ -290,6 +342,16 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             )
             metrics = learner.learn(opponent_act, opponent_variables, ent_coef)
             current_env_steps = (i + 1) * steps_per_iteration
+
+            # League matchmaking: fold the iteration outcome vs each drawn
+            # historical member into its score EMA. mean_reward ∈ [-1, 1]
+            # from the learner's perspective -> score ∈ [0, 1]. (With
+            # mixed-opponent batches the aggregate is attributed to every
+            # drawn member — a documented approximation.)
+            if matchmaking and drawn_ids:
+                iteration_score = (metrics.mean_reward + 1.0) / 2.0
+                for entry_id in drawn_ids:
+                    pool.record_result(entry_id, iteration_score)
 
             current_lr = float(
                 lr_schedule((i + 1) * learner.config.updates_per_iteration - 1)
@@ -436,6 +498,19 @@ def main(argv=None) -> None:
     parser.add_argument("--run-name", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--checkpoint-interval", type=int, default=None)
+    parser.add_argument(
+        "--matchmaking",
+        choices=["uniform", "pfsp_hard", "pfsp_even"],
+        default=None,
+        help="league matchmaking over the opponent pool (selfplay/league.py)",
+    )
+    parser.add_argument(
+        "--fused",
+        action="store_true",
+        help="device-resident iteration loop (train_fused): opponent pool, "
+        "draws and entropy schedule run inside one compiled program per "
+        "validation block — for pod runs / latency-bound hosts",
+    )
     args = parser.parse_args(argv)
 
     config = get_default_config()
@@ -453,6 +528,8 @@ def main(argv=None) -> None:
         config["resume"] = True
     if args.checkpoint_interval is not None:
         config["checkpoint_interval"] = args.checkpoint_interval
+    if args.matchmaking:
+        config["matchmaking"] = args.matchmaking
 
     with MetricsLogger(
         project="mnk",
@@ -461,7 +538,12 @@ def main(argv=None) -> None:
         group="main_run_small_board",
         tags=["main_experiment"],
     ) as logger:
-        train_mnk(config, logger)
+        if args.fused:
+            from .train_fused import train_mnk_fused
+
+            train_mnk_fused(config, logger)
+        else:
+            train_mnk(config, logger)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,292 @@
+"""Fused-block training driver: device-resident iteration loop.
+
+Same training semantics as ``train.train_mnk`` (reference src/train.py:
+86-166) — opponent schedule, pool cadence, validation/promotion threshold,
+exports, checkpointing — but the per-iteration work runs as fused blocks
+(``alg/fused.train_block``): the opponent pool lives on device as a
+``DevicePool`` ring buffer, opponent draws / pool inserts / entropy
+scheduling happen inside the compiled program, and the host only
+intervenes at validation boundaries. Blocks are sized so every boundary
+lands exactly on the reference's validation cadence (after iteration i
+with i % validation_interval == 0, reference train.py:125), so
+validation/export/promotion happen at identical iteration numbers.
+
+Intended for pod runs where host round trips stall all chips; on a
+latency-bound dev link it also removes the per-iteration dispatch cost.
+
+Documented deviations from the host-loop driver (both extensions, not
+parity breaks — the parity path remains ``train.train_mnk``):
+  * opponent draws use device RNG (jax.random) instead of host
+    ``random.Random`` — the schedule's distribution (15% pool) is
+    identical, the stream differs;
+  * fault handling is per-block rather than per-iteration (a failed block
+    is logged and skipped, reference :162-164 semantics at block
+    granularity);
+  * checkpoints are written at block boundaries (the nearest boundary at
+    or after the configured interval).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .alg.fused import train_block
+from .alg.ppo import TrainingMetrics
+from .alg.schedules import make_entropy_coef_fn
+from .models.fold_bn import fold_batchnorm
+from .models.registry import make_apply_fns
+from .selfplay.opponent_pool import DevicePool, pool_add, pool_init
+from .selfplay.policies import make_network_policy
+from .selfplay.validation import validate
+from .train import create_learner, handle_training_error, log_training_metrics
+from .utils.checkpoint import restore_checkpoint, save_checkpoint
+from .utils.hardware import detect_hardware_config
+from .utils.metrics import MetricsLogger
+from .utils.model_export import ModelExporter
+
+POOL_PROB = 0.15  # reference train.py:108 — 15% historical opponent
+POOL_INSERT_INTERVAL = 20  # reference train.py:122
+
+
+def _block_end(start: int, validation_interval: int, total: int) -> int:
+    """Last iteration of the block starting at ``start``: the next multiple
+    of ``validation_interval`` (so validation runs after it, reference
+    train.py:125 ``i % validation_interval == 0``), clamped to the run end."""
+    next_boundary = ((start // validation_interval) + 1) * validation_interval
+    return min(next_boundary, total - 1)
+
+
+def train_mnk_fused(
+    config: Dict[str, Any], logger: Optional[MetricsLogger] = None
+) -> None:
+    if logger is None:
+        logger = MetricsLogger(project="mnk", config=config)
+
+    if config.get("multihost"):
+        from .parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator_address=config.get("coordinator_address"),
+            num_processes=config.get("num_processes"),
+            process_id=config.get("process_id"),
+        )
+
+    hw = detect_hardware_config()
+    mesh = None
+    if config.get("use_mesh", True) and hw.num_devices > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        assert config["num_envs"] % hw.num_devices == 0
+
+    exporter = ModelExporter(logger.run_name)
+    learner, module, env_cfg, arch_params, lr_schedule = create_learner(
+        config, hw, mesh
+    )
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+    entropy_fn = make_entropy_coef_fn(
+        config["entropy_coef"],
+        config["entropy_coef_schedule"],
+        config["num_envs"],
+        config["n_steps"],
+    )
+
+    # Device pool seeded with the untrained snapshot (reference :98-99);
+    # benchmark starts as the untrained network (:96, quirk 4 preserved).
+    fold_jit = jax.jit(fold_batchnorm)
+    benchmark_variables = fold_jit(learner.variables)
+    pool = jax.jit(pool_init, static_argnames=("max_size",))(
+        learner.variables, max_size=config["opponent_pool"]
+    )
+    pool = jax.jit(pool_add)(pool, learner.variables, 1.0)
+    last_score_rate = 1.0
+
+    steps_per_iteration = config["num_envs"] * config["n_steps"]
+    total_iterations = config["total_environment_steps"] // steps_per_iteration
+    vint = config["validation_interval"]
+
+    ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
+    ckpt_interval = config.get("checkpoint_interval", 0)
+
+    def checkpoint_state(iteration: int) -> dict:
+        return {
+            "params": learner.params,
+            "batch_stats": learner.batch_stats,
+            "opt_state": learner.opt_state,
+            "benchmark": benchmark_variables,
+            "pool": pool._asdict(),
+            "rng": learner.rng,
+            "iteration": iteration,
+        }
+
+    start_iteration = 0
+    if config.get("resume"):
+        state, step = restore_checkpoint(ckpt_dir, checkpoint_state(0))
+        if state is not None:
+            learner.params = state["params"]
+            learner.batch_stats = state["batch_stats"]
+            learner.opt_state = state["opt_state"]
+            learner.rng = state["rng"]
+            benchmark_variables = state["benchmark"]
+            pool = DevicePool(**state["pool"])
+            start_iteration = int(state["iteration"]) + 1
+            learner.iteration = start_iteration
+            print(f"Resumed from checkpoint at iteration {start_iteration}")
+
+    print(
+        f"Starting fused training for {total_iterations} iterations "
+        f"(validation every {vint})"
+    )
+    learner.reset_envs(policy_act, learner.variables)
+
+    i = start_iteration
+    last_ckpt = start_iteration - 1
+    while i < total_iterations:
+        end = _block_end(i, vint, total_iterations)
+        block_len = end - i + 1
+        current_env_steps = (end + 1) * steps_per_iteration
+        try:
+            learner.rng, k_block = jax.random.split(learner.rng)
+            t0 = time.perf_counter()
+            carry, stacked = train_block(
+                module,
+                learner.config,
+                learner.optimizer,
+                policy_act,
+                entropy_fn,
+                block_len,
+                POOL_PROB,
+                POOL_INSERT_INTERVAL,
+                learner.params,
+                learner.batch_stats,
+                learner.opt_state,
+                pool,
+                learner._sp_state,
+                learner._obs,
+                k_block,
+                jnp.int32(i),
+                jnp.float32(max(last_score_rate, 1e-3)),
+            )
+            (
+                learner.params,
+                learner.batch_stats,
+                learner.opt_state,
+                pool,
+                learner._sp_state,
+                learner._obs,
+                _,
+            ) = carry
+            stacked_host = jax.device_get(stacked)
+            block_time = time.perf_counter() - t0
+            per_iter = block_time / block_len
+
+            for j in range(block_len):
+                it = i + j
+                cnt = float(stacked_host["fin_count"][j])
+                metrics = TrainingMetrics(
+                    mean_reward=float(stacked_host["fin_reward"][j]) / cnt
+                    if cnt
+                    else 0.0,
+                    mean_length=float(stacked_host["fin_length"][j]) / cnt
+                    if cnt
+                    else 0.0,
+                    actor_loss=float(stacked_host["actor_loss"][j]),
+                    critic_loss=float(stacked_host["critic_loss"][j]),
+                    entropy_loss=float(stacked_host["entropy_loss"][j]),
+                    grad_norm=float(stacked_host["grad_norm"][j]),
+                    clip_fraction=float(stacked_host["clip_fraction"][j]),
+                    explained_variance=float(
+                        stacked_host["explained_variance"][j]
+                    ),
+                    approx_kl=float(stacked_host["approx_kl"][j]),
+                    fps=steps_per_iteration / per_iter,
+                    rollout_time=per_iter,
+                    learn_time=per_iter,
+                )
+                env_steps = (it + 1) * steps_per_iteration
+                logger.log(
+                    {
+                        "training/opponent_source": "historical"
+                        if bool(stacked_host["historical_opponent"][j])
+                        else "current_agent"
+                    },
+                    step=env_steps,
+                )
+                current_lr = float(
+                    lr_schedule(
+                        (it + 1) * learner.config.updates_per_iteration - 1
+                    )
+                )
+                log_training_metrics(
+                    logger,
+                    metrics,
+                    it,
+                    env_steps,
+                    float(stacked_host["entropy_coef"][j]),
+                    current_lr,
+                )
+            learner.iteration = end + 1
+
+            if end > 0 and end % vint == 0:
+                print(
+                    f"--- Running validation at step {end} "
+                    f"({current_env_steps:,} env steps) ---"
+                )
+                validation_res = validate(
+                    env_cfg,
+                    policy_act,
+                    learner.variables,
+                    policy_act,
+                    benchmark_variables,
+                    config["validation_episodes"],
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(config["seed"]), end
+                    ),
+                )
+                logger.log(validation_res, step=current_env_steps)
+                score_rate = validation_res[
+                    "validation/vs_benchmark/score_rate"
+                ]
+                last_score_rate = max(score_rate, 1e-3)
+                print(
+                    f"Score: {score_rate:.2f} | "
+                    f"W: {validation_res['validation/vs_benchmark/win_rate']:.2f} | "
+                    f"D: {validation_res['validation/vs_benchmark/draw_rate']:.2f} | "
+                    f"L: {validation_res['validation/vs_benchmark/loss_rate']:.2f}"
+                )
+                breaker = score_rate > config["benchmark_update_threshold_score"]
+                if breaker:
+                    print(f"--- New benchmark agent at step {end}! ---")
+                    benchmark_variables = fold_jit(learner.variables)
+                    logger.log(
+                        {"validation/new_benchmark_step": 1},
+                        step=current_env_steps,
+                    )
+                exporter.export_model(
+                    learner.variables,
+                    config["architecture_name"],
+                    arch_params,
+                    end,
+                    is_benchmark_breaker=breaker,
+                )
+
+            if ckpt_interval and end - last_ckpt >= ckpt_interval:
+                save_checkpoint(ckpt_dir, end, checkpoint_state(end))
+                last_ckpt = end
+
+        except Exception as e:  # reference :162-164 at block granularity
+            handle_training_error(logger, e, i, current_env_steps)
+        i = end + 1
+
+    exporter.export_model(
+        learner.variables,
+        config["architecture_name"],
+        arch_params,
+        total_iterations,
+        is_benchmark_breaker=False,
+    )

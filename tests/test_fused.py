@@ -1,0 +1,273 @@
+"""Fused device-resident training blocks (alg/fused.py, train_fused.py).
+
+Pins: block semantics (pool insert cadence, on-device opponent draws,
+entropy schedule values), stacked metric shapes, micro end-to-end run of
+the fused driver with validation/export/promotion, and checkpoint/resume
+through the DevicePool."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+import optax
+import pytest
+
+from rl_selfplay_mnk_tpu.alg.fused import train_block
+from rl_selfplay_mnk_tpu.alg.ppo import PPOConfig, pick_group_size
+from rl_selfplay_mnk_tpu.alg.schedules import (
+    entropy_coef_at,
+    make_entropy_coef_fn,
+)
+from rl_selfplay_mnk_tpu.env import EnvConfig
+from rl_selfplay_mnk_tpu.models.registry import (
+    create_model_from_architecture,
+    init_network,
+    make_apply_fns,
+)
+from rl_selfplay_mnk_tpu.selfplay.opponent_pool import pool_add, pool_init
+from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
+from rl_selfplay_mnk_tpu.selfplay.wrapper import selfplay_reset
+
+
+def _setup(num_envs=8, n_steps=8, batch=32):
+    env_cfg = EnvConfig(3, 3, 3)
+    module, _ = create_model_from_architecture("cnn_b_s", (2, 3, 3), 9)
+    variables = init_network(module, (2, 3, 3), jax.random.PRNGKey(0))
+    eval_apply, _ = make_apply_fns(module)
+    policy_act = make_network_policy(eval_apply)
+    config = PPOConfig(
+        env=env_cfg,
+        num_envs=num_envs,
+        n_steps=n_steps,
+        batch_size=batch,
+        ppo_epochs=1,
+        shuffle="global",
+        group_size=pick_group_size(batch),
+    )
+    optimizer = optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adamw(1e-3, eps=1e-5, weight_decay=0.01),
+        )
+    )
+    opt_state = jax.jit(optimizer.init)(variables["params"])
+    sp_state, obs = jax.jit(
+        selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
+    )(env_cfg, policy_act, variables, num_envs, jax.random.PRNGKey(1))
+    return module, config, optimizer, policy_act, variables, opt_state, sp_state, obs
+
+
+ENT_SCHEDULE = {
+    "type": "linear",
+    "params": {"final_coef": 0.001, "total_steps": 8 * 8 * 10},
+}
+
+
+def test_entropy_coef_fn_matches_host_schedule():
+    fn = make_entropy_coef_fn(0.04, ENT_SCHEDULE, 8, 8)
+    for it in [0, 1, 3, 7, 10, 25]:
+        host = entropy_coef_at(0.04, ENT_SCHEDULE, it, 8, 8)
+        np.testing.assert_allclose(float(fn(jnp.int32(it))), host, rtol=1e-6)
+    # exponential flavor
+    sched = {"type": "exponential", "params": {"decay_rate": 0.9}}
+    fn = make_entropy_coef_fn(0.05, sched, 8, 8)
+    for it in [0, 2, 9]:
+        host = entropy_coef_at(0.05, sched, it, 8, 8)
+        np.testing.assert_allclose(float(fn(jnp.int32(it))), host, rtol=1e-5)
+    # constant / no schedule
+    fn = make_entropy_coef_fn(0.02, None, 8, 8)
+    assert float(fn(jnp.int32(5))) == pytest.approx(0.02)
+
+
+def test_train_block_runs_and_stacks_metrics():
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup()
+    pool = pool_init(variables, max_size=3)
+    pool = pool_add(pool, variables, 1.0)
+    entropy_fn = make_entropy_coef_fn(0.04, ENT_SCHEDULE, 8, 8)
+    flat0 = np.asarray(ravel_pytree(variables["params"])[0])
+
+    block_len = 4
+    carry, stacked = train_block(
+        module, config, optimizer, policy_act, entropy_fn,
+        block_len, 0.15, 20,
+        variables["params"], variables["batch_stats"], opt_state, pool,
+        sp_state, obs, jax.random.PRNGKey(2), jnp.int32(0), jnp.float32(1.0),
+    )
+    params, batch_stats, opt_state, pool, sp_state, obs, _ = carry
+
+    for key in (
+        "actor_loss", "critic_loss", "entropy_loss", "grad_norm",
+        "clip_fraction", "approx_kl", "explained_variance", "entropy_coef",
+        "fin_reward", "fin_length", "fin_count",
+    ):
+        assert stacked[key].shape == (block_len,), key
+        assert np.all(np.isfinite(np.asarray(stacked[key], np.float32))), key
+    assert stacked["historical_opponent"].shape == (block_len,)
+
+    # pool insert cadence: iteration 0 inserts (0 % 20 == 0) on top of the
+    # seed entry -> size 2; no other iteration in [0,4) is a multiple of 20
+    assert int(pool.size) == 2
+    # entropy coef follows the schedule per iteration
+    expected = [entropy_coef_at(0.04, ENT_SCHEDULE, it, 8, 8) for it in range(4)]
+    np.testing.assert_allclose(
+        np.asarray(stacked["entropy_coef"]), expected, rtol=1e-5
+    )
+    # parameters actually changed
+    flat1 = np.asarray(ravel_pytree(params)[0])
+    assert np.abs(flat1 - flat0).max() > 0
+
+
+def test_train_block_iteration_offset_controls_cadence():
+    """With iteration0=19 the second iteration (it=20) triggers the pool
+    insert, not the first."""
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup()
+    pool = pool_init(variables, max_size=3)
+    pool = pool_add(pool, variables, 1.0)
+    entropy_fn = make_entropy_coef_fn(0.04, None, 8, 8)
+
+    carry, _ = train_block(
+        module, config, optimizer, policy_act, entropy_fn,
+        2, 0.15, 20,
+        variables["params"], variables["batch_stats"], opt_state, pool,
+        sp_state, obs, jax.random.PRNGKey(3), jnp.int32(19), jnp.float32(0.7),
+    )
+    pool = carry[3]
+    assert int(pool.size) == 2  # seed + the it=20 insert
+    # the inserted slot carries the insert weight
+    assert float(pool.weights[1]) == pytest.approx(0.7)
+
+
+def test_train_block_on_mesh():
+    """The fused block compiles and executes with envs sharded over the
+    virtual 8-device mesh and params/pool replicated — the pod-mode layout
+    it exists for."""
+    from jax.sharding import PartitionSpec as P
+
+    from rl_selfplay_mnk_tpu.parallel import make_mesh, replicate, shard_batched
+
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup(num_envs=16, n_steps=8, batch=32)
+    mesh = make_mesh(num_devices=8)
+    params = replicate(variables["params"], mesh)
+    batch_stats = replicate(variables["batch_stats"], mesh)
+    opt_state = replicate(opt_state, mesh)
+    pool = pool_init(variables, max_size=3)
+    pool = pool_add(pool, variables, 1.0)
+    pool = replicate(pool, mesh)
+    sp_state = shard_batched(sp_state, mesh)
+    obs = shard_batched(obs, mesh)
+    entropy_fn = make_entropy_coef_fn(0.04, None, 16, 8)
+
+    carry, stacked = train_block(
+        module, config, optimizer, policy_act, entropy_fn,
+        3, 0.15, 20,
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        jax.random.PRNGKey(4), jnp.int32(0), jnp.float32(1.0),
+    )
+    assert np.all(np.isfinite(np.asarray(stacked["actor_loss"])))
+    # env state stayed sharded, params replicated
+    assert carry[4].env.boards.sharding.spec == P("env")
+    leaf = jax.tree.leaves(carry[0])[0]
+    assert leaf.sharding.spec in (P(), P(None), P(*(None,) * leaf.ndim))
+
+
+def test_train_mnk_fused_micro_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=16,
+        n_steps=16,
+        batch_size=64,
+        ppo_epochs=1,
+        total_environment_steps=16 * 16 * 6,  # 6 iterations
+        validation_interval=2,
+        validation_episodes=32,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=3,
+        use_mesh=False,
+        entropy_coef_schedule=None,
+    )
+    logger = MetricsLogger(
+        run_name="fusedmicro", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk_fused(config, logger)
+    logger.finish()
+
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "fusedmicro.jsonl")]
+    keys = {k for rec in lines for k in rec}
+    assert "training/mean_reward" in keys
+    assert "validation/vs_benchmark/score_rate" in keys
+    assert not any(k.startswith("error/") for k in keys)
+    # one training record per iteration (0..5)
+    steps = sorted(
+        r["_step"] for r in lines if "training/mean_reward" in r
+    )
+    assert steps == [16 * 16 * (i + 1) for i in range(6)]
+    # validations after iterations 2 and 4 exported models; final export too
+    exported = os.listdir(tmp_path / "models" / "fusedmicro")
+    assert "model_00006.msgpack" in exported
+    assert len([f for f in exported if f.endswith(".json")]) >= 3
+
+
+def test_train_mnk_fused_resume_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=8,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=1,
+        total_environment_steps=8 * 8 * 5,  # 5 iterations
+        validation_interval=2,
+        validation_episodes=16,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=False,
+        checkpoint_interval=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        entropy_coef_schedule=None,
+    )
+    logger = MetricsLogger(
+        run_name="f1", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk_fused(config, logger)
+    logger.finish()
+
+    config["resume"] = True
+    config["total_environment_steps"] = 8 * 8 * 7
+    logger2 = MetricsLogger(
+        run_name="f2", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk_fused(config, logger2)
+    logger2.finish()
+
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "f2.jsonl")]
+    steps = [r["_step"] for r in lines if "training/mean_reward" in r]
+    assert steps and min(steps) >= 8 * 8 * 5
+    assert not any(k.startswith("error/") for rec in lines for k in rec)

@@ -39,13 +39,35 @@ EXPECTED_PARAMS_13x13 = {
     "transformer_b_s": 175_131,
 }
 
+# Framework speed-tier extensions: parameter-matched to the budget tier but
+# MXU-shaped (wider channels, shallower stacks) — registry.py comments.
+SPEED_TIER_PARAMS_9x9 = {
+    "resnet_b_s_w": ("resnet_b_s", 118_587),
+    "resnet_b_l_w": ("resnet_b_l", 679_739),
+}
+
 
 def count_params(variables) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
 
 
 def test_registry_has_all_14_names():
-    assert set(ARCHITECTURE_REGISTRY) == set(EXPECTED_PARAMS_9x9)
+    # the reference's 14 names all present; extras are the documented
+    # speed-tier variants only
+    assert set(ARCHITECTURE_REGISTRY) == (
+        set(EXPECTED_PARAMS_9x9) | set(SPEED_TIER_PARAMS_9x9)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SPEED_TIER_PARAMS_9x9))
+def test_speed_tier_param_budget(name):
+    base, expected = SPEED_TIER_PARAMS_9x9[name]
+    module, _ = create_model_from_architecture(name, (2, 9, 9), 81)
+    variables = init_network(module, (2, 9, 9), jax.random.PRNGKey(0))
+    got = count_params(variables)
+    assert got == expected
+    # within 3% of the budget-tier base it substitutes for
+    assert abs(got - EXPECTED_PARAMS_9x9[base]) / EXPECTED_PARAMS_9x9[base] < 0.03
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTED_PARAMS_9x9))
