@@ -37,10 +37,10 @@ def _resnet(channels, blocks, hidden):
     )
 
 
-def _tfm(d, layers, heads, hidden):
+def _tfm(d, layers, heads, hidden, ffn=None, qkv=None):
     return lambda action_dim, dtype: TransformerActorCritic(
         action_dim=action_dim, embed_dim=d, num_layers=layers, num_heads=heads,
-        head_hidden=hidden, dtype=dtype,
+        head_hidden=hidden, dtype=dtype, ffn_dim=ffn, qkv_features=qkv,
     )
 
 
@@ -76,6 +76,14 @@ ARCHITECTURE_REGISTRY: Dict[str, Callable] = {
     # shallower stacks that pad the systolic array far better.
     "resnet_b_s_w": _resnet(64, 1, 128),  # 118,587 params @9x9 (b_s: 118,203)
     "resnet_b_l_w": _resnet(128, 2, 256),  # 679,739 params @9x9 (b_l: 665,627)
+    # Transformer speed tier: transformer_b_s's d=56 GEMMs fill only 44% of
+    # the 128-wide MXU lane dimension; these respend the same budget on
+    # d=128/256 projections (full lanes), one layer instead of 2/5. Few fat
+    # heads: the attention kernel's scores matmul contracts over head_dim,
+    # so dh=64 fills the MXU 4x better than dh=16 (measured H2 beats H8 by
+    # 22% on the full update step — tools/attn_kernel_ablation.py).
+    "transformer_b_s_w": _tfm(128, 1, 2, 128, ffn=0),
+    "transformer_b_l_w": _tfm(256, 1, 4, 256, ffn=512),
 }
 
 

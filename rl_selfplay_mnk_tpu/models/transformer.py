@@ -36,6 +36,10 @@ class EncoderLayer(nn.Module):
     embed_dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    # Speed-tier knobs (reference layers always use qkv=d, ffn=4d; the _w
+    # variants respend the same parameter budget on MXU-aligned shapes).
+    ffn_dim: int | None = None  # None -> 4*embed_dim (torch default); 0 -> no FFN
+    qkv_features: int | None = None  # None -> embed_dim
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -45,13 +49,16 @@ class EncoderLayer(nn.Module):
         # ~1.7x the XLA path on TPU; falls back to XLA math on CPU).
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
-            qkv_features=self.embed_dim,
+            qkv_features=self.qkv_features or self.embed_dim,
             dtype=self.dtype,
             attention_fn=tiny_head_attention,
         )(h, h)
         x = x + h
+        ffn = 4 * self.embed_dim if self.ffn_dim is None else self.ffn_dim
+        if ffn == 0:
+            return x
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Dense(self.embed_dim * 4, dtype=self.dtype)(h)
+        h = nn.Dense(ffn, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
         return x + h
@@ -64,6 +71,8 @@ class TransformerActorCritic(nn.Module):
     num_heads: int = 4
     head_hidden: int = 256
     dtype: Any = jnp.float32
+    ffn_dim: int | None = None
+    qkv_features: int | None = None
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False):
@@ -85,7 +94,11 @@ class TransformerActorCritic(nn.Module):
         x = x + pos.astype(self.dtype)
         for _ in range(self.num_layers):
             x = EncoderLayer(
-                embed_dim=self.embed_dim, num_heads=self.num_heads, dtype=self.dtype
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                ffn_dim=self.ffn_dim,
+                qkv_features=self.qkv_features,
             )(x)
         return ActorCriticHeads(
             action_dim=self.action_dim, hidden=self.head_hidden, dtype=self.dtype

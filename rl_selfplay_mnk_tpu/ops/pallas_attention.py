@@ -30,6 +30,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Scoped-VMEM budget for one grid step (the hardware limit is 16 MiB; leave
+# headroom for Mosaic's own temporaries). Tiles are sized so the per-step
+# working set — double-buffered I/O blocks plus the f32 L x L score/prob
+# intermediates — stays under this.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_tile(requested: int, bh: int, dh: int, lp: int, n_io: int, n_lxl: int) -> int:
+    """Largest head-tile <= requested that divides bh and fits the budget.
+
+    n_io: number of (tile, dh, lp) bf16 blocks (double-buffered by Mosaic).
+    n_lxl: number of live f32 (tile, lp, lp) intermediates in the kernel.
+    """
+    dhp = max(32, ((dh + 15) // 16) * 16)  # Mosaic pads the sublane axis
+    per_head = 2 * n_io * dhp * lp * 2 + n_lxl * lp * lp * 4
+    tile = min(requested, bh)
+    while tile > 1 and (bh % tile or tile * per_head > _VMEM_BUDGET):
+        tile //= 2
+    return tile
+
 
 def _attn_kernel(l_real, scale, q_ref, k_ref, v_ref, o_ref):
     # refs: (TBH, Dh, Lp) — head_dim on the SUBLANE axis so the tiny Dh
@@ -74,9 +94,7 @@ def _attention_fwd_pallas(
     if lp != l:
         pad = ((0, 0), (0, 0), (0, lp - l))
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-    tile = min(tile_heads, bh)
-    while tile > 1 and bh % tile:
-        tile //= 2
+    tile = _pick_tile(tile_heads, bh, dh, lp, n_io=4, n_lxl=2)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, l, scale),
@@ -143,9 +161,7 @@ def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = F
     if lp != l:
         pad = ((0, 0), (0, 0), (0, lp - l))
         q, k, v, do = (jnp.pad(t, pad) for t in (q, k, v, do))
-    tile = min(tile_heads, bh)
-    while tile > 1 and bh % tile:
-        tile //= 2
+    tile = _pick_tile(tile_heads, bh, dh, lp, n_io=7, n_lxl=4)
 
     spec = pl.BlockSpec((tile, dh, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((bh, dh, lp), q.dtype)
