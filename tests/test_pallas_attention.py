@@ -83,3 +83,30 @@ def test_gradients_flow_through_custom_vjp():
     g_base = jax.grad(loss_base)(variables["params"], x)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_base)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
+
+
+def test_pick_tile_respects_vmem_budget():
+    from rl_selfplay_mnk_tpu.ops.pallas_attention import _VMEM_BUDGET, _pick_tile
+
+    # (bh, dh, lp) shapes that OOMed or would OOM scoped VMEM at tile=128:
+    # 9x9 board batch 8192 (Lp=96) and 13x13 (L=169 -> Lp=176).
+    for bh, dh, lp in [(65536, 16, 96), (8192, 128, 96), (32768, 14, 176)]:
+        for n_io, n_lxl in [(4, 2), (7, 4)]:  # fwd and bwd kernel loads
+            tile = _pick_tile(128, bh, dh, lp, n_io=n_io, n_lxl=n_lxl)
+            assert tile >= 1 and bh % tile == 0
+            dhp = max(32, ((dh + 15) // 16) * 16)
+            per_head = 2 * n_io * dhp * lp * 2 + n_lxl * lp * lp * 4
+            assert tile * per_head <= _VMEM_BUDGET or tile == 1
+
+
+def test_kernel_matches_xla_interpret_13x13():
+    # 13x13 board: L=169 pads to Lp=176 — the shape the budget-aware tile
+    # picker exists to keep compilable.
+    rng = np.random.default_rng(3)
+    bh, l, dh = 16, 169, 14
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(bh, dh, l)).astype(np.float32)) for _ in range(3)
+    )
+    got = _attention_fwd_pallas(q, k, v, tile_heads=8, interpret=True)
+    want = _attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
