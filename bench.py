@@ -32,6 +32,7 @@ def run_bench(
     warmup: int,
     arch: str,
     use_pallas: bool = False,
+    update_chunks: int = 0,
 ):
     from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
     from rl_selfplay_mnk_tpu.env import EnvConfig
@@ -54,6 +55,11 @@ def run_bench(
 
     from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
 
+    if update_chunks == 0:
+        # auto: the 5-layer transformers' 4-epoch update exceeds the axon
+        # tunnel's ~90s single-execution deadline at bench scale; per-epoch
+        # dispatch is bit-identical and costs ~3 extra round trips/iter.
+        update_chunks = 4 if "transformer" in arch else 1
     config = PPOConfig(
         env=env_cfg,
         num_envs=num_envs,
@@ -62,6 +68,7 @@ def run_bench(
         ppo_epochs=4,
         shuffle="grouped" if hw.is_accelerator else "global",
         group_size=pick_group_size(8192),
+        update_chunks=update_chunks,
     )
     optimizer = optax.flatten(
         optax.chain(
@@ -409,6 +416,9 @@ def main():
     parser.add_argument("--learn-iters", type=int, default=500,
                         help="training iterations for --mode learning")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--update-chunks", type=int, default=0,
+                        help="epoch-scan dispatch granularity (0 = auto: "
+                        "per-epoch for transformers, monolithic otherwise)")
     args = parser.parse_args()
 
     if args.mode == "learning":
@@ -432,9 +442,10 @@ def main():
         return
 
     bench_fn = run_bench_fused if args.fused else run_bench
+    kwargs = {} if args.fused else {"update_chunks": args.update_chunks}
     res = bench_fn(
         args.num_envs, args.n_steps, args.iters, args.warmup, args.arch,
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas, **kwargs,
     )
     print(
         f"# rollout fps {res['rollout_fps']:.0f} | "

@@ -78,6 +78,14 @@ class PPOConfig:
     shuffle: str = "global"
     shard_groups: int = 1
     group_size: int = 128
+    # Update dispatch granularity: 1 = the whole update (bootstrap + GAE +
+    # ppo_epochs x minibatch SGD) is ONE XLA program; N>1 = the epoch scan
+    # is split into N host-dispatched chunks (bit-identical math — the
+    # per-epoch permutation keys do not depend on the chunking). Use when a
+    # single update program's execution would exceed an environment's RPC
+    # deadline (the axon TPU tunnel kills executions around ~90s; the
+    # 5-layer transformers' 4-epoch update at 256 minibatches is >70s).
+    update_chunks: int = 1
 
     @property
     def total_batch(self) -> int:
@@ -184,7 +192,13 @@ def rollout_impl(
         ep_rew = ep_rew * (1.0 - d)
         ep_len = ep_len * (1.0 - d)
         out = {
-            "obs": obs["observation"],
+            # Board planes are exactly 0/1 — store the (T, E, 2, M, N)
+            # trajectory as uint8 (4x less HBM than f32 for the largest
+            # buffer; exact, since every model casts obs to its compute
+            # dtype on entry). At 8192 envs this is the difference between
+            # the 5-layer transformers fitting HBM in the update and the
+            # worker OOM-crashing.
+            "obs": obs["observation"].astype(jnp.uint8),
             "mask": obs["action_mask"],
             "actions": actions,
             "log_probs": logp,
@@ -249,20 +263,31 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
     return perm.reshape(config.num_minibatches, config.batch_size)
 
 
-def update_impl(
+_METRIC_KEYS = (
+    "actor_loss",
+    "critic_loss",
+    "entropy_loss",
+    "grad_norm",
+    "clip_fraction",
+    "approx_kl",
+    "explained_variance",
+)
+
+
+def zero_metric_sums() -> dict:
+    return {k: jnp.zeros((), jnp.float32) for k in _METRIC_KEYS}
+
+
+def _update_prepare_impl(
     module,
     config: PPOConfig,
-    optimizer,
     params: Any,
     batch_stats: Any,
-    opt_state: Any,
     traj: dict,
     final_obs: dict,
-    entropy_coef: jax.Array,
-    rng: jax.Array,
 ):
-    """Bootstrap + GAE + ppo_epochs x minibatch SGD (reference ppo.py:131-135,
-    168-262). One XLA program."""
+    """Epoch-independent update prefix (one XLA program): bootstrap value,
+    GAE, buffer-global advantage normalization, minibatch-layout flatten."""
 
     # Bootstrap value for GAE (ppo.py:131-133); train-mode forward like the
     # reference (network stays in train mode).
@@ -308,12 +333,40 @@ def update_impl(
         advantages.std(ddof=1) + 1e-8
     )
 
-    b_obs = flat(traj["obs"])
-    b_mask = flat(traj["mask"])
-    b_actions = flat(traj["actions"])
-    b_old_logp = flat(traj["log_probs"])
-    b_returns = flat(returns)
-    b_adv = flat(advantages)
+    return batch_stats, {
+        "obs": flat(traj["obs"]),
+        "mask": flat(traj["mask"]),
+        "actions": flat(traj["actions"]),
+        "old_logp": flat(traj["log_probs"]),
+        "returns": flat(returns),
+        "adv": flat(advantages),
+    }
+
+
+def _update_epochs_impl(
+    module,
+    config: PPOConfig,
+    optimizer,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    flats: dict,
+    entropy_coef: jax.Array,
+    epoch_keys: jax.Array,
+    sums: dict,
+):
+    """A chunk of the epoch scan (one XLA program): one epoch of minibatch
+    SGD per key in ``epoch_keys``. Scanning a subset of the keys and
+    carrying (params, batch_stats, opt_state, sums) across calls is
+    bit-identical to scanning them all in one program — the permutation
+    key of epoch i is epoch_keys[i] either way."""
+    grouped = config.shuffle == "grouped"
+    b_obs = flats["obs"]
+    b_mask = flats["mask"]
+    b_actions = flats["actions"]
+    b_old_logp = flats["old_logp"]
+    b_returns = flats["returns"]
+    b_adv = flats["adv"]
 
     def loss_fn(params, batch_stats, idx):
         def take(x):
@@ -363,16 +416,6 @@ def update_impl(
         }
         return total, aux
 
-    metric_keys = (
-        "actor_loss",
-        "critic_loss",
-        "entropy_loss",
-        "grad_norm",
-        "clip_fraction",
-        "approx_kl",
-        "explained_variance",
-    )
-
     def mb_body(carry, idx):
         params, batch_stats, opt_state, sums = carry
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -383,7 +426,7 @@ def update_impl(
         params = optax.apply_updates(params, updates)
         batch_stats = aux["batch_stats"]
         aux["grad_norm"] = grad_norm
-        sums = {k: sums[k] + aux[k] for k in metric_keys}
+        sums = {k: sums[k] + aux[k] for k in _METRIC_KEYS}
         return (params, batch_stats, opt_state, sums), None
 
     def epoch_body(carry, k_epoch):
@@ -394,10 +437,34 @@ def update_impl(
         )
         return (params, batch_stats, opt_state, sums), None
 
-    sums = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
-    epoch_keys = jax.random.split(rng, config.ppo_epochs)
     (params, batch_stats, opt_state, sums), _ = jax.lax.scan(
         epoch_body, (params, batch_stats, opt_state, sums), epoch_keys
+    )
+    return params, batch_stats, opt_state, sums
+
+
+def update_impl(
+    module,
+    config: PPOConfig,
+    optimizer,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    traj: dict,
+    final_obs: dict,
+    entropy_coef: jax.Array,
+    rng: jax.Array,
+):
+    """Bootstrap + GAE + ppo_epochs x minibatch SGD (reference ppo.py:131-135,
+    168-262). One XLA program (see PPOConfig.update_chunks for the
+    host-chunked dispatch of the same math)."""
+    batch_stats, flats = _update_prepare_impl(
+        module, config, params, batch_stats, traj, final_obs
+    )
+    epoch_keys = jax.random.split(rng, config.ppo_epochs)
+    params, batch_stats, opt_state, sums = _update_epochs_impl(
+        module, config, optimizer, params, batch_stats, opt_state,
+        flats, entropy_coef, epoch_keys, zero_metric_sums(),
     )
     n_updates = config.updates_per_iteration
     metrics = {k: v / n_updates for k, v in sums.items()}
@@ -411,6 +478,21 @@ update = jax.jit(
     update_impl,
     static_argnames=("module", "config", "optimizer"),
     donate_argnames=("opt_state", "traj"),
+)
+
+# Chunked-dispatch entries (PPOConfig.update_chunks > 1): the prepare
+# program runs once per iteration, then the epoch scan is split across
+# several ``update_epochs`` calls. ``flats`` persists across calls (not
+# donated); params/batch_stats keep the no-donation rule above.
+update_prepare = jax.jit(
+    _update_prepare_impl,
+    static_argnames=("module", "config"),
+    donate_argnames=("traj",),
+)
+update_epochs = jax.jit(
+    _update_epochs_impl,
+    static_argnames=("module", "config", "optimizer"),
+    donate_argnames=("opt_state", "sums"),
 )
 
 
@@ -522,18 +604,21 @@ class PPOLearner:
             fps = 0.0
 
         t1 = time.perf_counter()
-        self.params, self.batch_stats, self.opt_state, metrics = update(
-            self.module,
-            cfg,
-            self.optimizer,
-            self.params,
-            self.batch_stats,
-            self.opt_state,
-            traj,
-            self._obs,
-            jnp.float32(entropy_coef),
-            k_upd,
-        )
+        if cfg.update_chunks > 1:
+            metrics = self._update_chunked(traj, entropy_coef, k_upd)
+        else:
+            self.params, self.batch_stats, self.opt_state, metrics = update(
+                self.module,
+                cfg,
+                self.optimizer,
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                traj,
+                self._obs,
+                jnp.float32(entropy_coef),
+                k_upd,
+            )
         # One batched host fetch resolves everything (and forces the whole
         # pipeline to completion — float conversions are device syncs).
         fin_dev, metrics_dev = jax.device_get((fin, metrics))
@@ -561,3 +646,42 @@ class PPOLearner:
             rollout_time=rollout_time,
             learn_time=learn_time,
         )
+
+    def _update_chunked(self, traj, entropy_coef: float, k_upd: jax.Array):
+        """Same math as the monolithic ``update`` but dispatched as
+        1 + update_chunks programs (prepare, then epoch chunks), so no
+        single execution outlives an RPC deadline (PPOConfig.update_chunks).
+        Bit-identical: epoch i's permutation key is epoch_keys[i] under
+        either dispatch."""
+        cfg = self.config
+        self.batch_stats, flats = update_prepare(
+            self.module, cfg, self.params, self.batch_stats, traj, self._obs
+        )
+        epoch_keys = jax.random.split(k_upd, cfg.ppo_epochs)
+        n_chunks = min(cfg.update_chunks, cfg.ppo_epochs)
+        base, rem = divmod(cfg.ppo_epochs, n_chunks)
+        sums = zero_metric_sums()
+        ec = jnp.float32(entropy_coef)
+        start = 0
+        for i in range(n_chunks):
+            size = base + (1 if i < rem else 0)
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                sums,
+            ) = update_epochs(
+                self.module,
+                cfg,
+                self.optimizer,
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                flats,
+                ec,
+                epoch_keys[start : start + size],
+                sums,
+            )
+            start += size
+        n_updates = cfg.updates_per_iteration
+        return {k: v / n_updates for k, v in sums.items()}

@@ -138,6 +138,7 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         shuffle=shuffle,
         shard_groups=num_devices,
         group_size=pick_group_size(config["batch_size"]),
+        update_chunks=config.get("update_chunks", 1),
     )
     lr_schedule = make_lr_schedule(
         base_lr=config["learning_rate"],
@@ -511,6 +512,14 @@ def main(argv=None) -> None:
         "draws and entropy schedule run inside one compiled program per "
         "validation block — for pod runs / latency-bound hosts",
     )
+    parser.add_argument(
+        "--update-chunks",
+        type=int,
+        default=None,
+        help="split the PPO update's epoch scan into N host-dispatched "
+        "programs (bit-identical math) — keeps single-program execution "
+        "under RPC deadlines for big models at large env counts",
+    )
     args = parser.parse_args(argv)
 
     config = get_default_config()
@@ -530,6 +539,8 @@ def main(argv=None) -> None:
         config["checkpoint_interval"] = args.checkpoint_interval
     if args.matchmaking:
         config["matchmaking"] = args.matchmaking
+    if args.update_chunks is not None:
+        config["update_chunks"] = args.update_chunks
 
     with MetricsLogger(
         project="mnk",

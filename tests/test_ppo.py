@@ -109,7 +109,9 @@ def test_entropy_schedule_linear_and_exponential():
     )
 
 
-def _make_learner(seed=0, num_envs=64, n_steps=32, batch_size=512, lr=3e-3):
+def _make_learner(
+    seed=0, num_envs=64, n_steps=32, batch_size=512, lr=3e-3, **cfg_over
+):
     env_cfg = EnvConfig(3, 3, 3)
     module = TinyMLP(action_dim=9)
     variables = dict(module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 2, 3, 3))))
@@ -121,6 +123,7 @@ def _make_learner(seed=0, num_envs=64, n_steps=32, batch_size=512, lr=3e-3):
         batch_size=batch_size,
         ppo_epochs=2,
         clip_range=0.2,
+        **cfg_over,
     )
     optimizer = optax.chain(
         optax.clip_by_global_norm(0.5),
@@ -222,3 +225,24 @@ def test_ppo_learns_tictactoe_vs_random():
     score = res["validation/vs_benchmark/score_rate"]
     # random vs random scores ~0.5; a learner must clearly beat that
     assert score > 0.70, f"score_rate={score}"
+
+
+def test_chunked_update_matches_monolithic_bitwise():
+    """update_chunks > 1 splits the epoch scan into host-dispatched
+    programs (for environments with an RPC execution deadline) — the math
+    must be bit-identical to the single-program update."""
+    results = []
+    for chunks in (1, 2):
+        learner, _, _ = _make_learner(seed=11, update_chunks=chunks)
+        rp = RandomPolicy()
+        ms = [learner.learn(rp.apply, rp.params, entropy_coef=0.01) for _ in range(2)]
+        results.append((ms, learner.params, learner.opt_state))
+    (ms_a, p_a, o_a), (ms_b, p_b, o_b) = results
+    for m_a, m_b in zip(ms_a, ms_b):
+        assert m_a.actor_loss == m_b.actor_loss
+        assert m_a.grad_norm == m_b.grad_norm
+        assert m_a.approx_kl == m_b.approx_kl
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o_a), jax.tree.leaves(o_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
