@@ -65,7 +65,10 @@ def test_kill_and_resume_drill(tmp_path, monkeypatch):
     try:
         # Wait until at least two checkpoints committed (proves steady
         # progress), then hard-kill with no warning.
-        deadline = time.time() + 300
+        # Generous deadline: this host has few cores and the victim's first
+        # iteration includes cold XLA compiles; under full-suite load the
+        # old 300 s budget was occasionally exceeded (observed flake).
+        deadline = time.time() + 600
         step = None
         while time.time() < deadline:
             step = latest_checkpoint_step(ckpt_dir)
