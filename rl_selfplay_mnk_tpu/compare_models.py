@@ -27,13 +27,32 @@ def main(argv=None) -> None:
     parser.add_argument(
         "paths", nargs="+", help="model files, directories, or globs"
     )
-    parser.add_argument("--games", type=int, default=64, help="games per pairing")
     parser.add_argument(
-        "--board", type=int, nargs=3, default=[9, 9, 5], metavar=("M", "N", "K")
+        "--games", "-g", type=int, default=50,
+        help="games per pairing (default: 50)",
     )
-    parser.add_argument("--output", default="comparison_results")
+    parser.add_argument(
+        "--board", "-b", type=int, nargs=3, default=[9, 9, 5],
+        metavar=("M", "N", "K"),
+        help="board dimensions M x N and win condition K (default: 9 9 5)",
+    )
+    parser.add_argument(
+        "--device", "-d", choices=["cpu", "tpu"], default=None,
+        help="JAX platform to run matches on (default: auto-detect)",
+    )
+    parser.add_argument(
+        "--output", "-o", default="comparison_results",
+        help="output directory for results (default: comparison_results)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+
+    if args.device is not None:
+        # Must land before the first array op initializes a backend
+        # (reference picks a torch device string the same way, :58-64).
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     loader = ModelLoader()
     models = loader.load_from_paths(args.paths)
