@@ -167,7 +167,7 @@ def run_bench_fused(
 
     state = (
         learner.params, learner.batch_stats, learner.opt_state, pool,
-        learner._sp_state, learner._obs,
+        learner._sp_state, learner._obs, learner._ep_rew, learner._ep_len,
     )
     rng = jax.random.PRNGKey(2)
 
@@ -176,9 +176,9 @@ def run_bench_fused(
         carry, stacked = train_block(
             module, config, optimizer, policy_act, entropy_fn,
             length, 0.15, 20,
-            *state[:6], k, jnp.int32(it0), jnp.float32(1.0),
+            *state[:8], k, jnp.int32(it0), jnp.float32(1.0),
         )
-        return carry[:6], rng, stacked
+        return carry[:8], rng, stacked
 
     it0 = 0
     for _ in range(max(warmup, 1)):
@@ -268,7 +268,7 @@ def run_learning_bench_fused(iters: int, arch: str, seed: int = 0, block: int = 
 
     state = (
         learner.params, learner.batch_stats, learner.opt_state, pool,
-        learner._sp_state, learner._obs,
+        learner._sp_state, learner._obs, learner._ep_rew, learner._ep_len,
     )
     rng = jax.random.PRNGKey(seed + 2)
     t0 = time.perf_counter()
@@ -281,7 +281,7 @@ def run_learning_bench_fused(iters: int, arch: str, seed: int = 0, block: int = 
             length, 0.15, 20,
             *state, k, jnp.int32(i), jnp.float32(1.0),
         )
-        state = carry[:6]
+        state = carry[:8]
         rew = jax.device_get(stacked["fin_reward"]).sum()
         cnt = jax.device_get(stacked["fin_count"]).sum()
         i += length

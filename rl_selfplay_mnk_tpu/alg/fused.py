@@ -20,6 +20,13 @@ module moves the WHOLE iteration loop into one compiled program:
 Validation, benchmark promotion, export and checkpointing stay host-side
 at block boundaries; ``train_fused.train_mnk_fused`` sizes blocks so the
 boundaries land exactly on the reference's validation cadence.
+
+Execution-length caveat: a block is ONE XLA execution of ``block_len``
+whole iterations, so it cannot honor ``PPOConfig.update_chunks`` (the
+driver rejects that combination) and is inappropriate where a single
+execution has a wall-clock deadline (the axon dev tunnel kills ~90 s
+executions — CLAUDE.md): size blocks accordingly or use the host-loop
+driver for big models.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..selfplay.opponent_pool import DevicePool, pool_add, pool_sample
+from ..selfplay.opponent_pool import DevicePool, pool_add_if, pool_sample
 from .ppo import PPOConfig, rollout_impl, update_impl
 
 
@@ -58,6 +65,8 @@ def _select(pred: jax.Array, a: Any, b: Any) -> Any:
         "pool",
         "sp_state",
         "obs",
+        "ep_rew",
+        "ep_len",
     ),
 )
 def train_block(
@@ -75,6 +84,8 @@ def train_block(
     pool: DevicePool,
     sp_state,
     obs: dict,
+    ep_rew: jax.Array,
+    ep_len: jax.Array,
     rng: jax.Array,
     iteration0: jax.Array,
     insert_weight: jax.Array,
@@ -86,15 +97,23 @@ def train_block(
     inside this block (the host passes the latest validation score rate in
     weighted-pool mode; 1.0 otherwise — train.py:216,302 equivalent).
 
-    Returns ``(params, batch_stats, opt_state, pool, sp_state, obs, rng),
-    stacked`` where ``stacked`` maps metric name -> (block_len,) array:
+    ``ep_rew``/``ep_len`` are the per-env in-progress episode accumulators
+    carried across blocks (reference ppo.py:81-89 semantics — see
+    rollout_impl).
+
+    Returns ``(params, batch_stats, opt_state, pool, sp_state, obs, ep_rew,
+    ep_len, rng), stacked`` where ``stacked`` maps metric name ->
+    (block_len,) array:
     the update diagnostics plus ``entropy_coef``, ``historical_opponent``
     and the finished-episode sums (``fin_reward/fin_length/fin_count``)
     from which the host derives mean_reward/mean_length per iteration.
     """
 
     def body(carry, i):
-        params, batch_stats, opt_state, pool, sp_state, obs, rng = carry
+        (
+            params, batch_stats, opt_state, pool, sp_state, obs,
+            ep_rew, ep_len, rng,
+        ) = carry
         it = iteration0 + i
         rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
 
@@ -106,7 +125,7 @@ def train_block(
         historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
         opponent = _select(historical, sampled, current)
 
-        sp_state, obs, batch_stats, traj, fin, _ = rollout_impl(
+        sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), _ = rollout_impl(
             module,
             config,
             opponent_apply,
@@ -115,6 +134,8 @@ def train_block(
             opponent,
             sp_state,
             obs,
+            ep_rew,
+            ep_len,
             k_roll,
         )
         ent_coef = entropy_fn(it)
@@ -132,20 +153,29 @@ def train_block(
         )
 
         # Pool insertion cadence (reference :122-123): every
-        # ``insert_interval`` iterations, post-update snapshot.
+        # ``insert_interval`` iterations, post-update snapshot. The masked
+        # insert touches only the written slot, not the whole stacked pool.
         do_insert = (it % insert_interval) == 0
-        inserted = pool_add(
-            pool, {"params": params, "batch_stats": batch_stats}, insert_weight
+        pool = pool_add_if(
+            pool,
+            {"params": params, "batch_stats": batch_stats},
+            insert_weight,
+            do_insert,
         )
-        pool = _select(do_insert, inserted, pool)
 
         out = dict(metrics)
         out["entropy_coef"] = ent_coef
         out["historical_opponent"] = historical
         out["fin_reward"], out["fin_length"], out["fin_count"] = fin
-        return (params, batch_stats, opt_state, pool, sp_state, obs, rng), out
+        return (
+            params, batch_stats, opt_state, pool, sp_state, obs,
+            ep_rew, ep_len, rng,
+        ), out
 
-    carry = (params, batch_stats, opt_state, pool, sp_state, obs, rng)
+    carry = (
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        ep_rew, ep_len, rng,
+    )
     carry, stacked = jax.lax.scan(
         body, carry, jnp.arange(block_len, dtype=jnp.int32)
     )

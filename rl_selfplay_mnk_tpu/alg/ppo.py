@@ -159,12 +159,20 @@ def rollout_impl(
     opponent_params: Any,
     sp_state,
     obs: dict,
+    ep_rew: jax.Array,
+    ep_len: jax.Array,
     rng: jax.Array,
 ):
     """Collect ``n_steps`` vectorized self-play steps (reference ppo.py:93-122).
 
-    Returns (sp_state, obs, batch_stats, traj, ep_stats, rng') where traj is
-    a dict of (T, E, ...) arrays and ep_stats = (finished_reward_sum,
+    ``ep_rew``/``ep_len`` are the per-env in-progress episode accumulators;
+    the reference stores them on the agent and carries them ACROSS learn()
+    calls (ppo.py:81-89 ``self._current_ep_reward/_current_ep_len``), so
+    episodes spanning an iteration boundary report their full length —
+    they are threaded in and out here for the same semantics.
+
+    Returns (sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), rng')
+    where traj is a dict of (T, E, ...) arrays and fin = (finished_reward_sum,
     finished_length_sum, finished_count) for the reference's mean episode
     metrics (ppo.py:110-120, 150-151).
     """
@@ -208,16 +216,14 @@ def rollout_impl(
         }
         return (sp_state, next_obs, batch_stats, rng, ep_rew, ep_len, fin), out
 
-    e = config.num_envs
-    zeros = jnp.zeros((e,), jnp.float32)
     fin0 = (jnp.zeros((), jnp.float32),) * 3
-    (sp_state, obs, batch_stats, rng, _, _, fin), traj = jax.lax.scan(
+    (sp_state, obs, batch_stats, rng, ep_rew, ep_len, fin), traj = jax.lax.scan(
         body,
-        (sp_state, obs, batch_stats, rng, zeros, zeros, fin0),
+        (sp_state, obs, batch_stats, rng, ep_rew, ep_len, fin0),
         None,
         length=config.n_steps,
     )
-    return sp_state, obs, batch_stats, traj, fin, rng
+    return sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), rng
 
 
 # Jitted entry (host-driven loops); ``rollout_impl`` stays callable from
@@ -225,7 +231,7 @@ def rollout_impl(
 rollout = jax.jit(
     rollout_impl,
     static_argnames=("module", "config", "opponent_apply"),
-    donate_argnames=("sp_state", "obs"),
+    donate_argnames=("sp_state", "obs", "ep_rew", "ep_len"),
 )
 
 
@@ -533,6 +539,11 @@ class PPOLearner:
         self.iteration = 0
         self._sp_state = None
         self._obs = None
+        # In-progress per-env episode accumulators, carried across learn()
+        # calls like the reference's self._current_ep_reward/_current_ep_len
+        # (ppo.py:81-89) so boundary-spanning episodes report full lengths.
+        self._ep_rew = None
+        self._ep_len = None
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import replicate
@@ -550,11 +561,56 @@ class PPOLearner:
         self._sp_state, self._obs = jax.jit(
             selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
         )(self.config.env, opponent_apply, opponent_params, self.config.num_envs, k)
+        # Two distinct buffers — both are donated to the rollout, and jax
+        # rejects donating the same buffer twice.
+        self._ep_rew = jnp.zeros((self.config.num_envs,), jnp.float32)
+        self._ep_len = jnp.zeros((self.config.num_envs,), jnp.float32)
         if self.mesh is not None:
             from ..parallel.mesh import shard_batched
 
             self._sp_state = shard_batched(self._sp_state, self.mesh)
             self._obs = shard_batched(self._obs, self.mesh)
+            self._ep_rew = shard_batched(self._ep_rew, self.mesh)
+            self._ep_len = shard_batched(self._ep_len, self.mesh)
+
+    def recover(self) -> list:
+        """Restore learner invariants after a failed dispatch.
+
+        The jitted phases donate device state (sp_state/obs/ep accumulators
+        to the rollout, opt_state to the update); an exception after
+        dispatch (e.g. an RPC deadline kill on a remote backend) can leave
+        those buffers deleted, and the reference-parity log-and-continue
+        loop (train.py, reference :162-164) would then fail every later
+        iteration with "donated buffer was deleted". This probes each
+        stateful buffer and rebuilds what was lost: env state is dropped
+        (lazily re-reset by the next learn() — a legal env transition),
+        a dead optimizer state is re-initialized from params (losing the
+        moments — logged by the caller). params/batch_stats are never
+        donated, so training itself continues from the last good values.
+        Returns the names of recovered components (empty = nothing to do).
+        """
+
+        def dead(tree) -> bool:
+            return any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree.leaves(tree)
+            )
+
+        recovered = []
+        if self._sp_state is not None and dead(
+            (self._sp_state, self._obs, self._ep_rew, self._ep_len)
+        ):
+            self._sp_state = self._obs = None
+            self._ep_rew = self._ep_len = None
+            recovered.append("env_state")
+        if dead(self.opt_state):
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self.opt_state = replicate(self.opt_state, self.mesh)
+            recovered.append("opt_state")
+        return recovered
 
     def learn(
         self,
@@ -582,6 +638,7 @@ class PPOLearner:
             self.batch_stats,
             traj,
             fin,
+            (self._ep_rew, self._ep_len),
             _,
         ) = rollout(
             self.module,
@@ -592,11 +649,18 @@ class PPOLearner:
             opponent_params,
             self._sp_state,
             self._obs,
+            self._ep_rew,
+            self._ep_len,
             k_roll,
         )
         total_steps = cfg.n_steps * cfg.num_envs
         if precise_timing:
-            jax.block_until_ready(traj)
+            # Scalar fetch, not block_until_ready: the latter can return
+            # before the program finishes on the axon tunnel backend and the
+            # update would overlap into the rollout window (CLAUDE.md
+            # "Measurement notes"). fin are () outputs of the rollout
+            # program, so fetching one awaits the whole program.
+            jax.device_get(fin[2])
             rollout_time = time.perf_counter() - t0
             fps = total_steps / rollout_time if rollout_time > 0 else 0.0
         else:

@@ -78,6 +78,32 @@ def pool_add(pool: DevicePool, params: Any, weight: float = 1.0) -> DevicePool:
     )
 
 
+def pool_add_if(
+    pool: DevicePool, params: Any, weight: jax.Array, do_insert: jax.Array
+) -> DevicePool:
+    """``pool_add`` under a traced predicate, for compiled loops with an
+    insertion cadence (alg/fused.py). Selects at the single written slot
+    instead of a dense pytree-wide ``where`` over all ``max_size`` stacked
+    entries — one slot of traffic per iteration instead of the whole pool."""
+    idx = pool.next_idx
+    stacked = jax.tree.map(
+        lambda s, p: s.at[idx].set(
+            jnp.where(do_insert, jnp.asarray(p, s.dtype), s[idx])
+        ),
+        pool.stacked,
+        params,
+    )
+    max_size = pool.max_size
+    return DevicePool(
+        stacked=stacked,
+        size=jnp.where(do_insert, jnp.minimum(pool.size + 1, max_size), pool.size),
+        next_idx=jnp.where(do_insert, (pool.next_idx + 1) % max_size, pool.next_idx),
+        weights=pool.weights.at[idx].set(
+            jnp.where(do_insert, weight, pool.weights[idx])
+        ),
+    )
+
+
 def pool_sample(pool: DevicePool, rng: jax.Array) -> Any:
     """Draw one parameter set; uniform over valid entries (reference :13-16),
     modulated by slot weights. Pure gather — shardable."""

@@ -417,6 +417,11 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
 
         except Exception as e:  # reference :162-164: log and continue
             handle_training_error(logger, e, i, current_env_steps)
+            # A failure after dispatch may have consumed donated device
+            # state; rebuild it so "continue" actually can (PPOLearner.recover).
+            recovered = learner.recover()
+            if recovered:
+                print(f"Recovered learner state: {', '.join(recovered)}")
             continue
 
     exporter.export_model(

@@ -87,6 +87,18 @@ def train_mnk_fused(
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
+    if learner.config.update_chunks > 1:
+        # Fail fast instead of compiling a multi-minute program that a
+        # remote backend's execution deadline would kill mid-run: the fused
+        # block is by construction ONE program per validation interval and
+        # cannot honor chunked update dispatch. Big models that need
+        # update_chunks (CLAUDE.md ~90s tunnel kill) must use the host-loop
+        # driver (train.train_mnk).
+        raise ValueError(
+            "fused training cannot honor update_chunks "
+            f"({learner.config.update_chunks}): the whole block is one "
+            "compiled program. Drop --fused or --update-chunks."
+        )
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
     entropy_fn = make_entropy_coef_fn(
@@ -168,6 +180,8 @@ def train_mnk_fused(
                 pool,
                 learner._sp_state,
                 learner._obs,
+                learner._ep_rew,
+                learner._ep_len,
                 k_block,
                 jnp.int32(i),
                 jnp.float32(max(last_score_rate, 1e-3)),
@@ -179,6 +193,8 @@ def train_mnk_fused(
                 pool,
                 learner._sp_state,
                 learner._obs,
+                learner._ep_rew,
+                learner._ep_len,
                 _,
             ) = carry
             stacked_host = jax.device_get(stacked)
@@ -281,6 +297,22 @@ def train_mnk_fused(
 
         except Exception as e:  # reference :162-164 at block granularity
             handle_training_error(logger, e, i, current_env_steps)
+            # train_block donates the pool and env state; rebuild whatever a
+            # post-dispatch failure consumed so later blocks can run.
+            recovered = learner.recover()
+            if learner._sp_state is None:
+                learner.reset_envs(policy_act, learner.variables)
+            if any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree.leaves(pool)
+            ):
+                pool = jax.jit(pool_init, static_argnames=("max_size",))(
+                    learner.variables, max_size=config["opponent_pool"]
+                )
+                pool = jax.jit(pool_add)(pool, learner.variables, 1.0)
+                recovered.append("pool")
+            if recovered:
+                print(f"Recovered learner state: {', '.join(recovered)}")
         i = end + 1
 
     exporter.export_model(

@@ -89,14 +89,18 @@ def test_sharded_matches_unsharded_rollout():
             selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
         )(env_cfg, rp.apply, None, 16, jax.random.PRNGKey(5))
         params, bs = variables["params"], variables["batch_stats"]
+        ep0 = jnp.zeros((16,), jnp.float32)
+        ep1 = jnp.zeros((16,), jnp.float32)
         if shard:
             mesh = make_mesh(num_devices=8)
             state = shard_batched(state, mesh)
             obs = shard_batched(obs, mesh)
+            ep0 = shard_batched(ep0, mesh)
+            ep1 = shard_batched(ep1, mesh)
             params = replicate(params, mesh)
-        _, _, _, traj, fin, _ = rollout(
+        _, _, _, traj, fin, _, _ = rollout(
             module, config, rp.apply, params, bs, None, state, obs,
-            jax.random.PRNGKey(6),
+            ep0, ep1, jax.random.PRNGKey(6),
         )
         return jax.device_get(traj), jax.device_get(fin)
 

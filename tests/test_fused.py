@@ -93,13 +93,16 @@ def test_train_block_runs_and_stacks_metrics():
     flat0 = np.asarray(ravel_pytree(variables["params"])[0])
 
     block_len = 4
+    ep0 = jnp.zeros((config.num_envs,), jnp.float32)
+    ep1 = jnp.zeros((config.num_envs,), jnp.float32)
     carry, stacked = train_block(
         module, config, optimizer, policy_act, entropy_fn,
         block_len, 0.15, 20,
         variables["params"], variables["batch_stats"], opt_state, pool,
-        sp_state, obs, jax.random.PRNGKey(2), jnp.int32(0), jnp.float32(1.0),
+        sp_state, obs, ep0, ep1,
+        jax.random.PRNGKey(2), jnp.int32(0), jnp.float32(1.0),
     )
-    params, batch_stats, opt_state, pool, sp_state, obs, _ = carry
+    params, batch_stats, opt_state, pool, sp_state, obs, _, _, _ = carry
 
     for key in (
         "actor_loss", "critic_loss", "entropy_loss", "grad_norm",
@@ -134,11 +137,14 @@ def test_train_block_iteration_offset_controls_cadence():
     pool = pool_add(pool, variables, 1.0)
     entropy_fn = make_entropy_coef_fn(0.04, None, 8, 8)
 
+    ep0 = jnp.zeros((config.num_envs,), jnp.float32)
+    ep1 = jnp.zeros((config.num_envs,), jnp.float32)
     carry, _ = train_block(
         module, config, optimizer, policy_act, entropy_fn,
         2, 0.15, 20,
         variables["params"], variables["batch_stats"], opt_state, pool,
-        sp_state, obs, jax.random.PRNGKey(3), jnp.int32(19), jnp.float32(0.7),
+        sp_state, obs, ep0, ep1,
+        jax.random.PRNGKey(3), jnp.int32(19), jnp.float32(0.7),
     )
     pool = carry[3]
     assert int(pool.size) == 2  # seed + the it=20 insert
@@ -169,10 +175,12 @@ def test_train_block_on_mesh():
     obs = shard_batched(obs, mesh)
     entropy_fn = make_entropy_coef_fn(0.04, None, 16, 8)
 
+    ep0 = shard_batched(jnp.zeros((config.num_envs,), jnp.float32), mesh)
+    ep1 = shard_batched(jnp.zeros((config.num_envs,), jnp.float32), mesh)
     carry, stacked = train_block(
         module, config, optimizer, policy_act, entropy_fn,
         3, 0.15, 20,
-        params, batch_stats, opt_state, pool, sp_state, obs,
+        params, batch_stats, opt_state, pool, sp_state, obs, ep0, ep1,
         jax.random.PRNGKey(4), jnp.int32(0), jnp.float32(1.0),
     )
     assert np.all(np.isfinite(np.asarray(stacked["actor_loss"])))

@@ -246,3 +246,72 @@ def test_chunked_update_matches_monolithic_bitwise():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(o_a), jax.tree.leaves(o_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_episode_stats_carry_across_learn_calls():
+    """The in-progress episode accumulators persist across learn() calls
+    (reference ppo.py:81-89 keeps self._current_ep_reward/_current_ep_len on
+    the agent), so boundary-spanning episodes report their full length.
+    Exact property: prefilling ep_len by +C must shift the finished-length
+    sum by exactly C per env whose FIRST episode finished (later episodes
+    start from the in-rollout reset and cannot carry the prefill). On a
+    3x3x3 board a first game lasts at most 5 agent steps, so within 12
+    steps every env finishes its first episode: delta == C * num_envs."""
+    from rl_selfplay_mnk_tpu.alg.ppo import rollout
+    from rl_selfplay_mnk_tpu.selfplay.wrapper import selfplay_reset
+
+    env_cfg = EnvConfig(3, 3, 3)
+    module = TinyMLP(action_dim=9)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 3, 3))))
+    variables.setdefault("batch_stats", {})
+    config = PPOConfig(env=env_cfg, num_envs=16, n_steps=12, batch_size=48)
+    rp = RandomPolicy()
+
+    def run(prefill):
+        state, obs = jax.jit(
+            selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
+        )(env_cfg, rp.apply, None, 16, jax.random.PRNGKey(5))
+        ep0 = jnp.zeros((16,), jnp.float32)
+        _, _, _, _, fin, (ep_rew, ep_len), _ = rollout(
+            module, config, rp.apply, variables["params"],
+            variables["batch_stats"], None, state, obs,
+            ep0, jnp.zeros((16,), jnp.float32) + prefill,
+            jax.random.PRNGKey(6),
+        )
+        return jax.device_get(fin), np.asarray(ep_len)
+
+    fin_a, _ = run(0.0)
+    fin_b, ep_len_b = run(100.0)
+    assert fin_a[2] == fin_b[2] > 0  # same episodes finished
+    np.testing.assert_allclose(fin_b[1], fin_a[1] + 100.0 * 16, rtol=1e-6)
+    # unfinished episodes keep accumulating into the carried state
+    assert (ep_len_b > 0).any()
+
+    # and the learner threads them: two short learns never lose episodes
+    learner, _, _ = _make_learner(num_envs=16, n_steps=4, batch_size=32)
+    learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert learner._ep_len is not None
+    carried = np.asarray(learner._ep_len)
+    # a 3x3x3 game lasts >= 3 agent plies; after 4 steps some env is mid-game
+    assert carried.max() > 0
+
+
+def test_recover_restores_state_after_buffer_invalidation():
+    """PPOLearner.recover(): a failed dispatch that consumed donated buffers
+    must not leave the log-and-continue training loop permanently broken."""
+    learner, _, _ = _make_learner(num_envs=16, n_steps=8, batch_size=32)
+    rp = RandomPolicy()
+    learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+
+    assert learner.recover() == []  # healthy state: nothing to do
+
+    # simulate a post-dispatch failure: donated env state got consumed
+    jax.tree.leaves(learner._obs)[0].delete()
+    # and the optimizer state too
+    jax.tree.leaves(learner.opt_state)[0].delete()
+    recovered = learner.recover()
+    assert set(recovered) == {"env_state", "opt_state"}
+
+    # the loop can continue: next learn() resets envs lazily and runs
+    m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert np.isfinite(m.actor_loss)

@@ -97,14 +97,15 @@ def main():
     roll_nodonate = jax.jit(
         rollout_impl, static_argnames=("module", "config", "opponent_apply")
     )
+    ep_zero = jnp.zeros((config.num_envs,), jnp.float32)
     t = timed(
         roll_nodonate, module, config, policy_act, params, batch_stats,
-        opponent, sp_state, obs, jax.random.PRNGKey(2),
+        opponent, sp_state, obs, ep_zero, ep_zero, jax.random.PRNGKey(2),
     )
     print(f"standalone rollout       : {t:.3f}s/iter")
-    _, _, _, traj, _, _ = roll_nodonate(
+    _, _, _, traj, _, _, _ = roll_nodonate(
         module, config, policy_act, params, batch_stats, opponent,
-        sp_state, obs, jax.random.PRNGKey(2),
+        sp_state, obs, ep_zero, ep_zero, jax.random.PRNGKey(2),
     )
     upd_nodonate = jax.jit(
         update_impl, static_argnames=("module", "config", "optimizer")
@@ -121,10 +122,11 @@ def main():
         def body(carry, _):
             sp_state, obs, batch_stats, rng = carry
             rng, k = jax.random.split(rng)
-            sp_state, obs, batch_stats, traj, fin, _ = rollout_impl(
+            e0 = jnp.zeros((config.num_envs,), jnp.float32)
+            sp_state, obs, batch_stats, traj, fin, _, _ = rollout_impl(
                 module, config, policy_act, params, batch_stats,
                 {"params": params, "batch_stats": batch_stats},
-                sp_state, obs, k,
+                sp_state, obs, e0, e0, k,
             )
             return (sp_state, obs, batch_stats, rng), fin[2]
         carry, fins = jax.lax.scan(
@@ -161,10 +163,11 @@ def main():
         def body(carry, _):
             params, batch_stats, opt_state, sp_state, obs, rng = carry
             rng, kr, ku = jax.random.split(rng, 3)
-            sp_state, obs, batch_stats, traj, fin, _ = rollout_impl(
+            e0 = jnp.zeros((config.num_envs,), jnp.float32)
+            sp_state, obs, batch_stats, traj, fin, _, _ = rollout_impl(
                 module, config, policy_act, params, batch_stats,
                 {"params": params, "batch_stats": batch_stats},
-                sp_state, obs, kr,
+                sp_state, obs, e0, e0, kr,
             )
             params, batch_stats, opt_state, metrics = update_impl(
                 module, config, optimizer, params, batch_stats, opt_state,
@@ -187,10 +190,14 @@ def main():
     pool = jax.jit(pool_add)(pool, variables, 1.0)
     entropy_fn = make_entropy_coef_fn(0.01, None, args.num_envs, args.n_steps)
 
+    ep0 = jnp.zeros((config.num_envs,), jnp.float32)
+    ep1 = jnp.zeros((config.num_envs,), jnp.float32)
+
     def full(params, batch_stats, opt_state, pool, sp_state, obs, rng):
         return train_block(
             module, config, optimizer, policy_act, entropy_fn, L, 0.15, 20,
-            params, batch_stats, opt_state, pool, sp_state, obs, rng,
+            params, batch_stats, opt_state, pool, sp_state, obs,
+            jnp.copy(ep0), jnp.copy(ep1), rng,
             jnp.int32(1), jnp.float32(1.0),
         )
 
