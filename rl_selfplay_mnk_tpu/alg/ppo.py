@@ -568,10 +568,11 @@ class PPOLearner:
         if self.mesh is not None:
             from ..parallel.mesh import shard_batched
 
-            self._sp_state = shard_batched(self._sp_state, self.mesh)
-            self._obs = shard_batched(self._obs, self.mesh)
-            self._ep_rew = shard_batched(self._ep_rew, self.mesh)
-            self._ep_len = shard_batched(self._ep_len, self.mesh)
+            e = self.config.num_envs
+            self._sp_state = shard_batched(self._sp_state, self.mesh, e)
+            self._obs = shard_batched(self._obs, self.mesh, e)
+            self._ep_rew = shard_batched(self._ep_rew, self.mesh, e)
+            self._ep_len = shard_batched(self._ep_len, self.mesh, e)
 
     def recover(self) -> list:
         """Restore learner invariants after a failed dispatch.

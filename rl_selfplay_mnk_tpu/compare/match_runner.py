@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ import pandas as pd
 
 from ..env.constants import PLAYER_WHITE
 from ..env.mnk_env import EnvConfig, make_env_state, observe, step
+from ..selfplay.wrapper import flip_channels
 from .model_loader import ModelInfo
 
 
@@ -56,18 +57,16 @@ def play_batch_games(
     state = make_env_state(cfg, n_games)
 
     def cond(carry):
-        _, active, _, _, _, _, _ = carry
+        _, active, _, _, _, _ = carry
         return active.any()
 
     def body(carry):
-        state, active, wins, losses, draws, rng, _ = carry
+        state, active, wins, losses, draws, rng = carry
         rng, k1, k2 = jax.random.split(rng, 3)
         raw = observe(state)
-        mover_white = state.current_player == PLAYER_WHITE
-        observation = jnp.where(
-            mover_white[:, None, None, None],
-            raw["observation"][:, ::-1],
-            raw["observation"],
+        # Same canonicalization the training wrapper uses (one shared fn).
+        observation = flip_channels(
+            raw["observation"], state.current_player == PLAYER_WHITE
         )
         obs = {"observation": observation, "action_mask": raw["action_mask"]}
         a1 = p1_apply(p1_params, k1, obs, False)
@@ -81,14 +80,12 @@ def play_batch_games(
         losses = losses + (won & ~p1_turn).sum()
         draws = draws + (just & (rewards == 0.0)).sum()
         active = active & ~dones
-        return state, active, wins, losses, draws, rng, p1_turn
+        return state, active, wins, losses, draws, rng
 
     zero = jnp.zeros((), jnp.int32)
     active0 = jnp.ones((n_games,), bool)
-    _, _, wins, losses, draws, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (state, active0, zero, zero, zero, rng, jnp.zeros((n_games,), bool)),
+    _, _, wins, losses, draws, _ = jax.lax.while_loop(
+        cond, body, (state, active0, zero, zero, zero, rng)
     )
     return wins, losses, draws
 
@@ -107,16 +104,38 @@ class MatchRunner:
         self, models: List[ModelInfo], games_per_pair: int, batch_size: int = 8
     ) -> pd.DataFrame:
         """All-pairs round robin (reference :27-84). ``batch_size`` bounds
-        how many models stay loaded at once."""
-        del batch_size  # jax frees buffers on unload; keep per-pair loading
+        how many models stay loaded at once — the reference tiles models
+        into GPU-resident batches of 8 for the same reason (:37-61); here
+        an LRU over loaded entries gives the same working-set bound with
+        better reuse across the pair ordering."""
         all_results = []
         if len(models) < 2:
             return pd.DataFrame()
+
+        loaded: List[ModelInfo] = []  # LRU order: oldest first
+
+        def ensure_loaded(m: ModelInfo, keep: Optional[ModelInfo]) -> None:
+            if m in loaded:
+                loaded.remove(m)
+                loaded.append(m)
+                return
+            # Evict BEFORE loading so the bound is never exceeded, and never
+            # evict the current pair's other member.
+            while len(loaded) >= max(2, batch_size):
+                victim = next((x for x in loaded if x is not keep), None)
+                if victim is None:
+                    break
+                loaded.remove(victim)
+                victim.unload_model(hard=True)
+            m.load_model()
+            loaded.append(m)
 
         total = len(models) * (len(models) - 1) // 2
         done = 0
         for i, model1 in enumerate(models):
             for model2 in models[i + 1 :]:
+                ensure_loaded(model1, keep=None)
+                ensure_loaded(model2, keep=model1)
                 result = self._play_match(model1, model2, games_per_pair)
                 all_results.append(result)
                 done += 1
@@ -125,7 +144,11 @@ class MatchRunner:
                     f"[{done}/{total}] {model1.unique_id} vs {model2.unique_id}: "
                     f"{r['player1_wins']}-{r['player2_wins']}-{r['draws']}"
                 )
-            model1.unload_model(hard=True)
+            if model1 in loaded:
+                loaded.remove(model1)
+            model1.unload_model(hard=True)  # its row is finished
+        for m in loaded:
+            m.unload_model(hard=True)
         return (
             pd.concat(all_results, ignore_index=True)
             if all_results

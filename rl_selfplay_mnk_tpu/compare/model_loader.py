@@ -38,7 +38,17 @@ class ModelInfo:
     def load_model(self) -> Tuple[Any, dict, Any]:
         """Returns (module, variables, policy_act). Cached until unload."""
         if self._loaded is None:
-            module, variables, metadata = load_any_model(self.model_dir, self.model_id)
+            from ..utils.hardware import detect_hardware_config
+
+            # Match the training-time eval path: bf16 compute on TPU (params
+            # stay f32) — an f32 tournament forward would halve MXU
+            # throughput and score in a different numeric regime than the
+            # validation forwards the models were promoted under.
+            module, variables, metadata = load_any_model(
+                self.model_dir,
+                self.model_id,
+                dtype=detect_hardware_config().compute_dtype,
+            )
             self.metadata = metadata
             # Tournament policies are eval-mode: fold BatchNorm into the
             # convs so match play skips every norm op.

@@ -155,16 +155,12 @@ def step(
     if cfg.use_pallas:
         from ..ops.pallas_env import fused_step  # lazy: avoids import cycle
 
-        tile = 512
-        while tile > 1 and e % tile:
-            tile //= 2
         interpret = jax.default_backend() == "cpu"
         new_state, rewards, dones, _ = fused_step(
             cfg._replace(use_pallas=False),
             state,
             actions,
             active,
-            tile_envs=tile,
             interpret=interpret,
         )
         return new_state, rewards, dones

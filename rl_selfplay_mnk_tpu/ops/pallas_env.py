@@ -101,8 +101,12 @@ def fused_step(
     mn = cfg.num_actions
     if active is None:
         active = jnp.ones((e,), bool)
+    # Degrade the tile until it divides the env count (like the other
+    # kernel entry points) instead of asserting — direct callers get the
+    # same safe behavior the env.step wrapper implements.
     tile = min(tile_envs, e)
-    assert e % tile == 0, f"num_envs {e} must be divisible by tile {tile}"
+    while tile > 1 and e % tile:
+        tile //= 2
     lines = jnp.asarray(line_matrix(cfg.m, cfg.n, cfg.k))
     nl = lines.shape[1]
 

@@ -48,21 +48,31 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batched(tree: Any, mesh: Mesh) -> Any:
+def shard_batched(tree: Any, mesh: Mesh, batch_size: Optional[int] = None) -> Any:
     """Place every leaf with its leading axis sharded over the env axis.
 
-    Leaves whose leading dimension is not divisible by the mesh size are
-    replicated instead (e.g. scalars inside a state pytree).
+    With ``batch_size`` given (the env count), exactly the leaves whose
+    leading dimension equals it are sharded — deterministic placement.
+    Without it, any leaf whose leading dimension divides the mesh size is
+    sharded (convenient for homogeneous env-state pytrees, but a non-batch
+    leaf with a coincidentally divisible dim0 would be sharded too — pass
+    ``batch_size`` when the pytree mixes axes). Other leaves (scalars,
+    tables) are replicated.
     """
     n = mesh.devices.size
     es = env_sharding(mesh)
     rs = replicated_sharding(mesh)
 
+    def is_batch(x) -> bool:
+        if x.ndim < 1 or x.shape[0] == 0:
+            return False
+        if batch_size is not None:
+            return x.shape[0] == batch_size and x.shape[0] % n == 0
+        return x.shape[0] % n == 0
+
     def place(x):
         x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
-            return jax.device_put(x, es)
-        return jax.device_put(x, rs)
+        return jax.device_put(x, es if is_batch(x) else rs)
 
     return jax.tree.map(place, tree)
 

@@ -47,11 +47,18 @@ class SelfPlayState(NamedTuple):
     pending_resets: jax.Array  # (E,) bool — envs to auto-reset next step
 
 
-def _flip_channels(observation: jax.Array, flip: jax.Array) -> jax.Array:
-    """Swap me/enemy planes on the selected envs (dense select)."""
+def flip_channels(observation: jax.Array, flip: jax.Array) -> jax.Array:
+    """Swap me/enemy planes on the selected envs (dense select).
+
+    THE canonicalization contract: every surface that shows a White-mover a
+    board (training wrapper, validation, tournament match runner, play CLI)
+    goes through this one function."""
     return jnp.where(
         flip[:, None, None, None], observation[:, ::-1], observation
     )
+
+
+_flip_channels = flip_channels  # internal alias (historical name)
 
 
 def canonical_obs(state: SelfPlayState) -> dict:

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import serialization
 
-from ..models.registry import create_model_from_architecture, init_network
+from ..models.registry import create_model_from_architecture
 
 
 @dataclass
@@ -133,7 +133,17 @@ def load_any_model(
     module, _ = create_model_from_architecture(
         metadata.architecture_name, obs_shape, action_dim, dtype=dtype
     )
-    template = init_network(module, obs_shape, jax.random.PRNGKey(0))
+    # Only the pytree STRUCTURE is needed to deserialize — eval_shape builds
+    # it with zero device work, where an actual init would compile and run
+    # an orthogonal-init program per architecture (10-40 s per remote
+    # compile on the tunnel backend) just to overwrite every value.
+    dummy = jnp.zeros((1,) + obs_shape, jnp.float32)
+    template = dict(
+        jax.eval_shape(
+            lambda r: module.init(r, dummy, train=False), jax.random.PRNGKey(0)
+        )
+    )
+    template.setdefault("batch_stats", {})
     with open(model_path, "rb") as f:
         variables = serialization.from_bytes(template, f.read())
     return module, variables, metadata
@@ -151,8 +161,10 @@ def get_models_from_directory(model_dir: str) -> List[Dict[str, Any]]:
         try:
             with open(os.path.join(model_dir, filename)) as f:
                 metadata_dict = json.load(f)
-        except (json.JSONDecodeError, FileNotFoundError):
+            models.append(ModelMetadata.from_dict(metadata_dict).to_dict())
+        except (json.JSONDecodeError, FileNotFoundError, KeyError, TypeError):
+            # Not a model sidecar (stray config.json, partial write, ...) —
+            # skip it instead of aborting the whole discovery.
             continue
-        models.append(ModelMetadata.from_dict(metadata_dict).to_dict())
     models.sort(key=lambda x: x.get("iteration", 0))
     return models

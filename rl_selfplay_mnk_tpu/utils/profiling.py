@@ -53,7 +53,17 @@ class StepTimer:
 
     def tick(self, name: str, sync: Optional[object] = None) -> float:
         if sync is not None:
-            jax.block_until_ready(sync)
+            # Scalar fetch, not block_until_ready: the latter can return
+            # before the producing program finishes on the axon tunnel
+            # backend (CLAUDE.md "Measurement notes"), which would charge
+            # this section's device work to the NEXT tick. Fetching one
+            # element of one output leaf awaits the whole program.
+            leaves = [x for x in jax.tree.leaves(sync) if hasattr(x, "ndim")]
+            if leaves:
+                x = leaves[0]
+                jax.device_get(x if x.ndim == 0 else x.ravel()[0])
+            else:
+                jax.block_until_ready(sync)
         now = time.perf_counter()
         dt = now - self._last
         self._last = now

@@ -179,3 +179,42 @@ def test_play_cli_model_policy(exported_models, tmp_path, monkeypatch, capsys):
     )
     out = capsys.readouterr().out
     assert "runA/model_00001" in out  # latest iteration resolved from dir
+
+
+def test_loader_skips_non_model_json(exported_models):
+    """A stray JSON (run config, partial write) in a models dir must not
+    abort discovery (get_models_from_directory previously KeyError'd)."""
+    run_dir = exported_models[0]
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump({"lr": 3e-4}, f)
+    with open(os.path.join(run_dir, "broken.json"), "w") as f:
+        f.write("{not json")
+    models = ModelLoader().load_from_paths([run_dir])
+    assert len(models) == 2  # the two real exports, strays skipped
+
+
+def test_tournament_bounds_loaded_models(exported_models):
+    """run_tournament_batched keeps at most ``batch_size`` models loaded
+    (the reference tiles into GPU batches of 8 for the same reason)."""
+    from rl_selfplay_mnk_tpu.compare.model_loader import ModelInfo
+
+    models = ModelLoader().load_from_paths(exported_models)
+    assert len(models) == 3
+    peak = {"n": 0}
+    orig_load = ModelInfo.load_model
+
+    def counting_load(self):
+        out = orig_load(self)
+        loaded_now = sum(1 for m in models if m._loaded is not None)
+        peak["n"] = max(peak["n"], loaded_now)
+        return out
+
+    ModelInfo.load_model = counting_load
+    try:
+        runner = MatchRunner(GameConfig(m=3, n=3, k=3), seed=0)
+        results = runner.run_tournament_batched(models, 4, batch_size=2)
+    finally:
+        ModelInfo.load_model = orig_load
+    assert len(results) == 3  # all pairs still played
+    assert peak["n"] <= 2
+    assert all(m._loaded is None for m in models)  # all unloaded at the end
