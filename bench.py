@@ -441,6 +441,12 @@ def main():
         )
         return
 
+    if args.fused and args.update_chunks not in (0, 1):
+        sys.exit(
+            "--fused runs whole iterations as one compiled program and "
+            "cannot honor --update-chunks; drop one of the flags "
+            "(train.py rejects the same combination)"
+        )
     bench_fn = run_bench_fused if args.fused else run_bench
     kwargs = {} if args.fused else {"update_chunks": args.update_chunks}
     res = bench_fn(

@@ -58,9 +58,12 @@ def _select(pred: jax.Array, a: Any, b: Any) -> Any:
         "pool_prob",
         "insert_interval",
     ),
+    # params/batch_stats are deliberately NOT donated (same rule as the
+    # host-path update): they are the only state a failed block cannot
+    # rebuild — keeping them alive means a post-dispatch failure (e.g. an
+    # RPC execution-deadline kill) loses at most one block, never the run.
+    # They are a few MB; the donated buffers below are the bulky ones.
     donate_argnames=(
-        "params",
-        "batch_stats",
         "opt_state",
         "pool",
         "sp_state",

@@ -20,14 +20,22 @@ import numpy as np
 from .models.registry import (
     ARCHITECTURE_REGISTRY,
     create_model_from_architecture,
-    init_network,
 )
 
 
 def param_counts(name: str, m: int, n: int) -> Dict[str, int]:
-    """Flat {path: count} for one architecture."""
+    """Flat {path: count} for one architecture.
+
+    jax.eval_shape: shape accounting needs no device work — an actual init
+    would compile and run an orthogonal-init program per architecture
+    (10-40 s each over the remote-TPU tunnel)."""
     module, _ = create_model_from_architecture(name, (2, m, n), m * n)
-    variables = init_network(module, (2, m, n), jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    dummy = jnp.zeros((1, 2, m, n), jnp.float32)
+    variables = jax.eval_shape(
+        lambda r: module.init(r, dummy, train=False), jax.random.PRNGKey(0)
+    )
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     out = {}
     for path, leaf in flat:

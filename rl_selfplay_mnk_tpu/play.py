@@ -71,7 +71,7 @@ class HumanPolicy:
             print("Illegal move, try again.")
 
 
-def load_policy_from_arg(arg: str, action_dim: int):
+def load_policy_from_arg(arg: str, board: tuple):
     """'human' | 'random' | model file/dir (reference :221-251)."""
     if arg == "human":
         return HumanPolicy(), "human"
@@ -90,6 +90,14 @@ def load_policy_from_arg(arg: str, action_dim: int):
         base = os.path.basename(arg)
         model_id = base[: -len(".msgpack")] if base.endswith(".msgpack") else base
     module, variables, metadata = load_any_model(model_dir, model_id)
+    m, n = board
+    model_mn = tuple(metadata.architecture_params.get("obs_shape", ())[1:])
+    if model_mn and model_mn != (m, n):
+        raise ValueError(
+            f"model {metadata.run_name}/{model_id} was trained for a "
+            f"{model_mn[0]}x{model_mn[1]} board but --m/--n select "
+            f"{m}x{n}; pass the board the model was trained on"
+        )
     eval_apply, _ = make_apply_fns(module)
     act = make_network_policy(eval_apply)
     name = f"{metadata.run_name}/{model_id}"
@@ -199,8 +207,8 @@ def main(argv=None) -> None:
         return
 
     cfg = EnvConfig(args.m, args.n, args.k).validate()
-    p1, n1 = load_policy_from_arg(args.p1, cfg.num_actions)
-    p2, n2 = load_policy_from_arg(args.p2, cfg.num_actions)
+    p1, n1 = load_policy_from_arg(args.p1, (args.m, args.n))
+    p2, n2 = load_policy_from_arg(args.p2, (args.m, args.n))
     seed = args.seed if args.seed is not None else int(time.time()) % 2**31
     history, winner = play_game(cfg, p1, p2, (n1, n2), jax.random.PRNGKey(seed))
     if args.export:

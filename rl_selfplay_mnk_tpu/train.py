@@ -235,6 +235,25 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
     ckpt_interval = config.get("checkpoint_interval", 0)
 
+    # Host-side RNG for the opponent schedule, created before the
+    # checkpoint template so its state is part of the checkpoint: a resumed
+    # run continues the exact draw sequence of the uninterrupted one.
+    host_rng = _random.Random(config["seed"])
+
+    # Materialize the self-play env state up front so it is part of the
+    # checkpoint pytree (orbax needs a fixed template): a resumed run
+    # continues mid-episode from the exact boards/sides/episode accumulators
+    # it stopped with, instead of re-resetting the envs.
+    learner.reset_envs(policy_act, learner.variables)
+
+    def _mt_state(rng: _random.Random):
+        import numpy as _np
+
+        return _np.asarray(rng.getstate()[1], _np.uint32)
+
+    def _set_mt_state(rng: _random.Random, arr) -> None:
+        rng.setstate((3, tuple(int(x) for x in arr), None))
+
     def checkpoint_state(iteration: int) -> dict:
         """Fixed-structure train-state pytree (orbax restore requires a
         static template, so the pool is padded to max_size)."""
@@ -269,6 +288,13 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             "pool_next_id": next_id,
             "pool_count": count,
             "rng": learner.rng,
+            "host_rng_state": _mt_state(host_rng),
+            "pool_rng_state": _mt_state(pool._rng),
+            "last_score_rate": float(last_score_rate),
+            "sp_state": learner._sp_state,
+            "obs": learner._obs,
+            "ep_rew": learner._ep_rew,
+            "ep_len": learner._ep_len,
             "iteration": iteration,
         }
 
@@ -279,6 +305,14 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             learner.params = state["params"]
             learner.batch_stats = state["batch_stats"]
             learner.opt_state = state["opt_state"]
+            if learner.mesh is not None:
+                from .parallel.mesh import replicate
+
+                learner.params = replicate(learner.params, learner.mesh)
+                learner.batch_stats = replicate(
+                    learner.batch_stats, learner.mesh
+                )
+                learner.opt_state = replicate(learner.opt_state, learner.mesh)
             learner.rng = state["rng"]
             benchmark_variables = state["benchmark"]
             count = int(state["pool_count"])
@@ -303,11 +337,27 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                     state["pool"][:count], state["pool_weights"][:count]
                 ):
                     pool.add_opponent(entry, weight=float(w))
+            _set_mt_state(host_rng, state["host_rng_state"])
+            _set_mt_state(pool._rng, state["pool_rng_state"])
+            last_score_rate = float(state["last_score_rate"])
+            learner._sp_state = state["sp_state"]
+            learner._obs = state["obs"]
+            learner._ep_rew = state["ep_rew"]
+            learner._ep_len = state["ep_len"]
+            if learner.mesh is not None:
+                from .parallel.mesh import shard_batched
+
+                e = learner.config.num_envs
+                learner._sp_state = shard_batched(
+                    learner._sp_state, learner.mesh, e
+                )
+                learner._obs = shard_batched(learner._obs, learner.mesh, e)
+                learner._ep_rew = shard_batched(learner._ep_rew, learner.mesh, e)
+                learner._ep_len = shard_batched(learner._ep_len, learner.mesh, e)
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
             print(f"Resumed from checkpoint at iteration {start_iteration}")
 
-    host_rng = _random.Random(config["seed"] + start_iteration)
     print(f"Starting training for {total_iterations} iterations")
 
     current_env_steps = start_iteration * steps_per_iteration
@@ -330,8 +380,11 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             else:
                 opponent_variables, source, drawn_id = draw_opponent()
                 drawn_ids = [drawn_id] if drawn_id is not None else []
+            # Keyed at THIS iteration's final env-step count so it joins the
+            # iteration's other metrics (and matches the fused driver).
             logger.log(
-                {"training/opponent_source": source}, step=current_env_steps
+                {"training/opponent_source": source},
+                step=(i + 1) * steps_per_iteration,
             )
 
             ent_coef = entropy_coef_at(
@@ -530,7 +583,13 @@ def main(argv=None) -> None:
     config = get_default_config()
     if args.arch:
         config["architecture_name"] = args.arch
-    if args.m and args.n and args.k:
+    board_flags = (args.m, args.n, args.k)
+    if any(v is not None for v in board_flags):
+        if any(v is None for v in board_flags):
+            parser.error(
+                "--m/--n/--k must be given together (partial board specs "
+                "would silently train the default board)"
+            )
         config["mnk"] = (args.m, args.n, args.k)
     if args.num_envs:
         config["num_envs"] = args.num_envs

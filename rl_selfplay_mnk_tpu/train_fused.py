@@ -23,7 +23,12 @@ parity breaks — the parity path remains ``train.train_mnk``):
     is logged and skipped, reference :162-164 semantics at block
     granularity);
   * checkpoints are written at block boundaries (the nearest boundary at
-    or after the configured interval).
+    or after the configured interval) and do not carry the mid-episode env
+    state (blocks re-reset envs on resume; the host-loop driver's resume
+    is bit-exact);
+  * league/PFSP matchmaking, mixed-opponent batches and chunked update
+    dispatch are NOT supported here — the driver rejects those configs up
+    front; use the host-loop driver (train.train_mnk) for them.
 """
 
 from __future__ import annotations
@@ -87,6 +92,17 @@ def train_mnk_fused(
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
+    if config.get("matchmaking"):
+        raise ValueError(
+            "fused training does not implement league/PFSP matchmaking "
+            f"({config['matchmaking']!r}): the device pool samples "
+            "uniformly/weighted only. Drop --fused or --matchmaking."
+        )
+    if config.get("opponents_per_iteration", 1) > 1:
+        raise ValueError(
+            "fused training does not implement mixed-opponent batches "
+            "(opponents_per_iteration > 1). Drop --fused or the option."
+        )
     if learner.config.update_chunks > 1:
         # Fail fast instead of compiling a multi-minute program that a
         # remote backend's execution deadline would kill mid-run: the fused
@@ -184,7 +200,15 @@ def train_mnk_fused(
                 learner._ep_len,
                 k_block,
                 jnp.int32(i),
-                jnp.float32(max(last_score_rate, 1e-3)),
+                # Uniform pool sampling is the reference behavior; score-
+                # weighted insertion only under the explicit extension flag
+                # (train_block contract: "score rate in weighted-pool mode;
+                # 1.0 otherwise").
+                jnp.float32(
+                    max(last_score_rate, 1e-3)
+                    if config.get("pool_weighted")
+                    else 1.0
+                ),
             )
             (
                 learner.params,
@@ -297,7 +321,9 @@ def train_mnk_fused(
 
         except Exception as e:  # reference :162-164 at block granularity
             handle_training_error(logger, e, i, current_env_steps)
-            # train_block donates the pool and env state; rebuild whatever a
+            # train_block donates opt_state, the pool and env state (params/
+            # batch_stats deliberately are not donated — they are the one
+            # thing recovery could not rebuild); restore whatever a
             # post-dispatch failure consumed so later blocks can run.
             recovered = learner.recover()
             if learner._sp_state is None:

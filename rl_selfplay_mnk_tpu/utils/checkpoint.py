@@ -4,8 +4,12 @@ reference, which exports weights only and cannot resume (SURVEY.md §5:
 all").
 
 Checkpoints carry the complete training pytree (params, batch_stats,
-optimizer state, opponent pool, benchmark params, iteration, RNG key) via
-orbax, so a training run restarts bit-exactly where it stopped.
+optimizer state, opponent pool, benchmark params, iteration, device RNG
+key, host RNG streams, mid-episode env state and episode accumulators) via
+orbax, so the host-loop driver restarts bit-exactly where it stopped
+(pinned by tests/test_train_and_export.py resume-bit-exactness). The fused
+driver checkpoints at block boundaries and restores everything except the
+env state (its blocks re-reset envs; a documented deviation).
 """
 
 from __future__ import annotations

@@ -261,3 +261,67 @@ def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
     exported = os.listdir(tmp_path / "models" / "micro")
     assert "model_00006.msgpack" in exported
     assert len([f for f in exported if f.endswith(".json")]) >= 3
+
+
+def test_resume_is_bit_exact(tmp_path, monkeypatch):
+    """An interrupted-then-resumed run produces EXACTLY the parameters of
+    an uninterrupted run: the checkpoint carries device RNG, host RNG
+    streams, pool state, mid-episode env state and episode accumulators."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+    from flax import serialization
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    def base_config(total_iters, ckpt_dir):
+        config = get_default_config()
+        config.update(
+            mnk=(3, 3, 3),
+            num_envs=8,
+            n_steps=8,
+            batch_size=32,
+            ppo_epochs=1,
+            total_environment_steps=8 * 8 * total_iters,
+            validation_interval=3,
+            validation_episodes=8,
+            lr_warmup_steps=0,
+            architecture_name="cnn_b_s",
+            opponent_pool=2,
+            use_mesh=False,
+            checkpoint_interval=2,
+            checkpoint_dir=ckpt_dir,
+            entropy_coef_schedule=None,
+            seed=3,
+        )
+        return config
+
+    def final_weights(run):
+        path = tmp_path / "models" / run / "model_00006.msgpack"
+        with open(path, "rb") as f:
+            return f.read()
+
+    # Uninterrupted: 6 iterations in one go.
+    cfg = base_config(6, str(tmp_path / "ckptA"))
+    with MetricsLogger(run_name="straight", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk(cfg, lg)
+
+    # Interrupted: 4 iterations (checkpoint lands at iteration 4), then
+    # resume to 6.
+    cfg = base_config(4, str(tmp_path / "ckptB"))
+    with MetricsLogger(run_name="part1", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk(cfg, lg)
+    cfg = base_config(6, str(tmp_path / "ckptB"))
+    cfg["resume"] = True
+    with MetricsLogger(run_name="part2", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk(cfg, lg)
+
+    a = serialization.msgpack_restore(final_weights("straight"))
+    b = serialization.msgpack_restore(final_weights("part2"))
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
