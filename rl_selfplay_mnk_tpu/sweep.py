@@ -40,7 +40,9 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--trials", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
-    args = parser.parse_args(argv)
+    # unknown flags pass through to the train_short target (scale overrides
+    # for smoke tests / tiny-board sweeps)
+    args, extra = parser.parse_known_args(argv)
 
     rng = random.Random(args.seed)
     for t in range(args.trials):
@@ -54,6 +56,7 @@ def main(argv=None) -> None:
                 "--seed", str(args.seed * 1000 + t),
                 "--run-name", f"sweep_{args.seed}_{t}",
             ]
+            + extra
         )
 
 

@@ -302,19 +302,27 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     if config.get("resume"):
         state, step = restore_checkpoint(ckpt_dir, checkpoint_state(0))
         if state is not None:
-            learner.params = state["params"]
-            learner.batch_stats = state["batch_stats"]
-            learner.opt_state = state["opt_state"]
+            # On a mesh, every restored replicated-layout array (params,
+            # optimizer, RNG key, benchmark, pool entries) must be re-placed
+            # — orbax restores to one device, and a single-device argument
+            # alongside mesh-placed ones fails jit with "incompatible
+            # devices".
             if learner.mesh is not None:
-                from .parallel.mesh import replicate
+                from .parallel.mesh import replicate as _rep
 
-                learner.params = replicate(learner.params, learner.mesh)
-                learner.batch_stats = replicate(
-                    learner.batch_stats, learner.mesh
-                )
-                learner.opt_state = replicate(learner.opt_state, learner.mesh)
-            learner.rng = state["rng"]
-            benchmark_variables = state["benchmark"]
+                def rep(tree):
+                    return _rep(tree, learner.mesh)
+
+            else:
+
+                def rep(tree):
+                    return tree
+
+            learner.params = rep(state["params"])
+            learner.batch_stats = rep(state["batch_stats"])
+            learner.opt_state = rep(state["opt_state"])
+            learner.rng = rep(state["rng"])
+            benchmark_variables = rep(state["benchmark"])
             count = int(state["pool_count"])
             if matchmaking:
                 pool.entries.clear()
@@ -324,7 +332,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                     state["pool_ids"][:count],
                     state["pool_games"][:count],
                 ):
-                    pool.add_opponent(entry)
+                    pool.add_opponent(rep(entry))
                     member = pool.entries[-1]
                     member.entry_id = int(pid)
                     member.score_ema = float(w)
@@ -336,7 +344,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 for entry, w in zip(
                     state["pool"][:count], state["pool_weights"][:count]
                 ):
-                    pool.add_opponent(entry, weight=float(w))
+                    pool.add_opponent(rep(entry), weight=float(w))
             _set_mt_state(host_rng, state["host_rng_state"])
             _set_mt_state(pool._rng, state["pool_rng_state"])
             last_score_rate = float(state["last_score_rate"])

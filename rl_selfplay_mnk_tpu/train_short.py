@@ -20,6 +20,13 @@ def main(argv=None) -> None:
     parser.add_argument("--architecture_name", default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--run-name", default=None)
+    # scale overrides (smoke tests / tiny-board sweeps); defaults keep the
+    # reference's 80M-step sweep target
+    parser.add_argument("--total-steps", type=int, default=None)
+    parser.add_argument("--num-envs", type=int, default=None)
+    parser.add_argument("--n-steps", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--mnk", type=int, nargs=3, default=None)
     args = parser.parse_args(argv)
 
     config = get_default_config()
@@ -33,6 +40,16 @@ def main(argv=None) -> None:
         val = getattr(args, key)
         if val is not None:
             config[key] = val
+    if args.total_steps is not None:
+        config["total_environment_steps"] = args.total_steps
+    if args.num_envs is not None:
+        config["num_envs"] = args.num_envs
+    if args.n_steps is not None:
+        config["n_steps"] = args.n_steps
+    if args.batch_size is not None:
+        config["batch_size"] = args.batch_size
+    if args.mnk is not None:
+        config["mnk"] = tuple(args.mnk)
 
     with MetricsLogger(
         project="mnk_b_sweeps", run_name=args.run_name, config=config

@@ -109,3 +109,53 @@ def test_sharded_matches_unsharded_rollout():
     for key in ("actions", "rewards", "dones"):
         np.testing.assert_array_equal(traj_a[key], traj_b[key])
     np.testing.assert_allclose(fin_a, fin_b, rtol=1e-6)
+
+
+def test_train_mnk_full_driver_on_mesh(tmp_path, monkeypatch):
+    """The complete training driver — opponent schedule, validation,
+    promotion, export, checkpoint AND resume — runs with envs sharded over
+    the virtual 8-device mesh (use_mesh=True, the pod-mode default)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=16,  # 2 per virtual device
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=1,
+        total_environment_steps=16 * 8 * 5,
+        validation_interval=2,
+        validation_episodes=16,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=True,
+        checkpoint_interval=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        entropy_coef_schedule=None,
+    )
+    with MetricsLogger(run_name="mesh1", config=config,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk(config, lg)
+
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "mesh1.jsonl")]
+    keys = {k for rec in lines for k in rec}
+    assert "training/mean_reward" in keys
+    assert "validation/vs_benchmark/score_rate" in keys
+    assert not any(k.startswith("error/") for k in keys)
+
+    # resume on the mesh: restored env state / params get re-placed
+    config["resume"] = True
+    config["total_environment_steps"] = 16 * 8 * 7
+    with MetricsLogger(run_name="mesh2", config=config,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk(config, lg)
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "mesh2.jsonl")]
+    assert not any(k.startswith("error/") for rec in lines for k in rec)
+    steps = [r["_step"] for r in lines if "training/mean_reward" in r]
+    assert steps and min(steps) >= 16 * 8 * 5

@@ -325,3 +325,24 @@ def test_resume_is_bit_exact(tmp_path, monkeypatch):
     assert len(flat_a) == len(flat_b)
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_sweep_micro_two_trials(tmp_path, monkeypatch):
+    """The local random-search sweep drives the train_short target with the
+    reference's search space; two tiny-board trials run clean end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.sweep import main as sweep_main
+
+    sweep_main(
+        [
+            "--trials", "2", "--seed", "1",
+            "--mnk", "3", "3", "3",
+            "--num-envs", "8", "--n-steps", "8", "--batch-size", "32",
+            "--total-steps", str(8 * 8 * 2),
+        ]
+    )
+    runs = sorted(os.listdir(tmp_path / "runs"))
+    assert [r for r in runs if r.startswith("sweep_1_")]  # JSONL per trial
+    for r in runs:
+        lines = [json.loads(ln) for ln in open(tmp_path / "runs" / r)]
+        assert not any(k.startswith("error/") for rec in lines for k in rec)
