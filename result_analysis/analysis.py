@@ -17,7 +17,16 @@ import pandas as pd
 
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless-only backend selection: forcing Agg unconditionally would
+# override ipykernel's inline backend and make the sibling draw.ipynb
+# render no figures. Only pick Agg when no display/backend is set up.
+import os as _os
+
+if not _os.environ.get("DISPLAY") and "inline" not in matplotlib.get_backend():
+    try:
+        matplotlib.use("Agg", force=False)
+    except Exception:
+        pass
 import matplotlib.pyplot as plt  # noqa: E402
 
 

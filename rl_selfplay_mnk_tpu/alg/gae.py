@@ -33,10 +33,12 @@ def compute_gae(
         return (gae, v), gae
 
     e = rewards.shape[1]
-    (_, _), adv_rev = jax.lax.scan(
+    # reverse=True consumes xs back-to-front and emits outputs in original
+    # order — no explicit [::-1] reversals needed.
+    (_, _), advantages = jax.lax.scan(
         body,
         (jnp.zeros((e,), jnp.float32), last_values),
-        (rewards[::-1], values[::-1], nonterminal[::-1]),
+        (rewards, values, nonterminal),
+        reverse=True,
     )
-    advantages = adv_rev[::-1]
     return advantages, advantages + values

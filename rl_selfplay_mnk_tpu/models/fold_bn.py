@@ -37,8 +37,16 @@ def _fold_layer(conv: Dict, bn_params: Dict, bn_stats: Dict) -> Tuple[Dict, Dict
     var = bn_stats["var"]
     inv = gamma / jnp.sqrt(var + _EPS)  # (C,)
 
+    # A conv built with use_bias=False has no "bias" param; writing one into
+    # the dict would be SILENTLY ignored by module.apply, dropping the whole
+    # (b - mu)*inv + beta shift. Every conv in this zoo uses the flax
+    # default use_bias=True — fail loudly if that ever changes.
+    assert "bias" in conv, (
+        "fold_batchnorm requires the conv to have a bias param "
+        "(use_bias=True); a use_bias=False conv cannot absorb the BN shift"
+    )
     kernel = conv["kernel"] * inv  # broadcast over trailing out-channel axis
-    bias = (conv.get("bias", 0.0) - mu) * inv + beta
+    bias = (conv["bias"] - mu) * inv + beta
     new_conv = dict(conv, kernel=kernel, bias=bias)
     new_bn = dict(bn_params, scale=jnp.ones_like(gamma), bias=jnp.zeros_like(beta))
     new_stats = dict(bn_stats, mean=jnp.zeros_like(mu), var=jnp.ones_like(var) - _EPS)
@@ -56,6 +64,19 @@ def _walk(params: Any, stats: Any):
     bns = sorted((k for k in params if k.startswith("BatchNorm_")), key=num)
     # flax auto-naming pairs Conv_i with BatchNorm_i within a module scope
     # for every body in this zoo (cnn.py / resnet.py define them adjacently).
+    # CONTRACT: parameter names alone cannot prove which conv a BN follows
+    # (a scope with a BN-free conv ahead of a conv+BN pair would still name
+    # them Conv_0/Conv_1/BatchNorm_0); the idiom requires every conv in a
+    # scope that has BNs to be BN-paired, enforced by the count check below
+    # AND by tests/test_fold_bn.py, which asserts folded==unfolded eval
+    # outputs numerically for EVERY registry architecture — extend that
+    # test when adding a body.
+    if bns:
+        assert len(convs) == len(bns), (
+            f"scope mixes BN-paired and bare convs ({convs} vs {bns}); "
+            "fold_batchnorm only supports the uniform Conv_i+BatchNorm_i "
+            "idiom — restructure the module or skip folding"
+        )
     for conv_name, bn_name in zip(convs, bns):
         if isinstance(stats, dict) and bn_name in stats:
             yield params, stats, conv_name, bn_name

@@ -74,7 +74,6 @@ def random_masked_actions(
     if deterministic:
         # argmax of the 0/1 mask: first True, or index 0 when none.
         return jnp.argmax(mask.astype(jnp.int32), axis=-1).astype(jnp.int32)
-    logits = jnp.where(mask, 0.0, NEG_INF)
-    all_masked = ~mask.any(axis=-1, keepdims=True)
-    logits = jnp.where(all_masked, jnp.zeros_like(logits), logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    # Reuse the one central masking fn (same -inf + all-masked-row policy).
+    logits = mask_logits(jnp.zeros(mask.shape, jnp.float32), mask)
+    return masked_sample(rng, logits)

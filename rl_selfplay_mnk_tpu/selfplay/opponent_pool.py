@@ -119,11 +119,15 @@ def pool_sample(pool: DevicePool, rng: jax.Array) -> Any:
 class OpponentPool:
     """Host-side facade with the reference API (opponent_pool.py:5-19).
 
-    Default sampling is uniform (the reference's actual behavior). Passing
-    ``weighted=True`` enables the performance-based weighted sampling the
-    reference README promises but never implements (SURVEY.md §2.1): each
-    snapshot carries a weight (e.g. its validation score rate at insertion)
-    and sampling is proportional.
+    Default behavior matches the reference exactly: uniform sampling + FIFO
+    eviction. The reference README additionally promises "performance-based
+    weighted sampling with adaptive eviction" that its code never implements
+    (SURVEY.md §2.1); both are available here as explicit extensions:
+
+      * ``weighted=True`` — sampling proportional to each snapshot's weight
+        (e.g. its validation score rate at insertion);
+      * ``eviction="adaptive"`` — when full, evict the LOWEST-weight
+        snapshot instead of the oldest, keeping the strongest opponents.
     """
 
     def __init__(
@@ -131,14 +135,24 @@ class OpponentPool:
         max_size: int = 5,
         seed: Optional[int] = None,
         weighted: bool = False,
+        eviction: str = "fifo",
     ):
+        assert eviction in ("fifo", "adaptive"), eviction
         self.max_size = max_size
-        self.pool: deque = deque(maxlen=max_size)
-        self.weights: deque = deque(maxlen=max_size)
+        self.pool: deque = deque()  # bounded manually (eviction policy)
+        self.weights: deque = deque()
         self.weighted = weighted
+        self.eviction = eviction
         self._rng = random.Random(seed)
 
     def add_opponent(self, opponent: Any, weight: float = 1.0) -> None:
+        if len(self.pool) >= self.max_size:
+            if self.eviction == "adaptive":
+                drop = min(range(len(self.weights)), key=self.weights.__getitem__)
+            else:  # fifo — deque(maxlen) semantics, reference :8
+                drop = 0
+            del self.pool[drop]
+            del self.weights[drop]
         self.pool.append(opponent)
         self.weights.append(max(float(weight), 1e-6))
 

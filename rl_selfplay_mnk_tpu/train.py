@@ -88,6 +88,7 @@ def get_default_config() -> Dict[str, Any]:
         "use_mesh": True,  # shard envs over all local devices when >1
         "use_pallas": False,  # fused Pallas env-step kernel
         "pool_weighted": False,  # score-weighted opponent sampling (extension)
+        "pool_eviction": "fifo",  # "adaptive" = evict weakest, not oldest
         # None = reference pool; "uniform"/"pfsp_hard"/"pfsp_even" = league
         # matchmaking with per-member result tracking (selfplay/league.py)
         "matchmaking": None,
@@ -225,6 +226,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             max_size=config["opponent_pool"],
             seed=config["seed"],
             weighted=config.get("pool_weighted", False),
+            eviction=config.get("pool_eviction", "fifo"),
         )
     pool.add_opponent(learner.variables)
     last_score_rate = 1.0  # weight for score-weighted pool insertion

@@ -11,6 +11,7 @@ configured (this image has no wandb and zero egress).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -89,9 +90,16 @@ class MetricsLogger:
 def _jsonable(d: Dict[str, Any]) -> Dict[str, Any]:
     out = {}
     for k, v in d.items():
+        # Non-finite floats would serialize as bare NaN/Infinity tokens —
+        # Python-specific extensions that strict JSON consumers (jq,
+        # non-Python tooling) reject, exactly on the diverged runs one most
+        # needs to inspect. Stringify them instead.
+        if isinstance(v, float) and not math.isfinite(v):
+            out[k] = str(v)
+            continue
         try:
-            json.dumps(v)
+            json.dumps(v, allow_nan=False)
             out[k] = v
-        except TypeError:
+        except (TypeError, ValueError):
             out[k] = str(v)
     return out

@@ -346,3 +346,21 @@ def test_sweep_micro_two_trials(tmp_path, monkeypatch):
     for r in runs:
         lines = [json.loads(ln) for ln in open(tmp_path / "runs" / r)]
         assert not any(k.startswith("error/") for rec in lines for k in rec)
+
+
+def test_adaptive_eviction_keeps_strongest():
+    """eviction="adaptive": a full pool drops its weakest member, not its
+    oldest (the reference README's promised-but-unimplemented behavior)."""
+    pool = OpponentPool(max_size=3, seed=0, eviction="adaptive")
+    pool.add_opponent("old_strong", weight=0.9)
+    pool.add_opponent("weak", weight=0.1)
+    pool.add_opponent("mid", weight=0.5)
+    pool.add_opponent("new", weight=0.7)  # evicts "weak", not "old_strong"
+    assert set(pool.pool) == {"old_strong", "mid", "new"}
+    assert pool.size() == 3
+
+    # fifo default unchanged: oldest goes
+    fifo = OpponentPool(max_size=3, seed=0)
+    for name, w in [("a", 0.9), ("b", 0.1), ("c", 0.5), ("d", 0.7)]:
+        fifo.add_opponent(name, weight=w)
+    assert list(fifo.pool) == ["b", "c", "d"]
