@@ -90,26 +90,28 @@ def _attention_fwd_pallas(
 ) -> jax.Array:
     bh, dh, l = q.shape
     scale = 1.0 / (dh**0.5)
-    lp = ((l + 15) // 16) * 16
-    if lp != l:
-        pad = ((0, 0), (0, 0), (0, lp - l))
-        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-    tile = _pick_tile(tile_heads, bh, dh, lp, n_io=4, n_lxl=2)
+    # No explicit L padding: Mosaic pads the lane/sublane tiles internally
+    # and keeps reductions/contractions to the logical extents, and the
+    # kernel's col < l mask guards the softmax columns regardless. An
+    # explicit jnp.pad would materialize 3 padded HBM copies (plus an
+    # output slice copy) per call that XLA cannot fuse into the
+    # custom-call — measured ~10% of transformer_b_s update time.
+    tile = _pick_tile(tile_heads, bh, dh, l, n_io=4, n_lxl=2)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, l, scale),
         grid=(bh // tile,),
         in_specs=[
-            pl.BlockSpec((tile, dh, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, dh, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ]
         * 3,
         out_specs=pl.BlockSpec(
-            (tile, dh, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (tile, dh, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, dh, lp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, dh, l), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :, :l]
+    return out
 
 
 def _attn_bwd_kernel(l_real, scale, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
@@ -157,14 +159,12 @@ def _attn_bwd_kernel(l_real, scale, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
 def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = False):
     bh, dh, l = q.shape
     scale = 1.0 / (dh**0.5)
-    lp = ((l + 15) // 16) * 16
-    if lp != l:
-        pad = ((0, 0), (0, 0), (0, lp - l))
-        q, k, v, do = (jnp.pad(t, pad) for t in (q, k, v, do))
-    tile = _pick_tile(tile_heads, bh, dh, lp, n_io=7, n_lxl=4)
+    # Unpadded logical shapes end-to-end (see the forward's note): saves 4
+    # padded input copies + 3 sliced output copies per backward call.
+    tile = _pick_tile(tile_heads, bh, dh, l, n_io=7, n_lxl=4)
 
-    spec = pl.BlockSpec((tile, dh, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((bh, dh, lp), q.dtype)
+    spec = pl.BlockSpec((tile, dh, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, dh, l), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, l, scale),
         grid=(bh // tile,),
@@ -173,7 +173,7 @@ def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = F
         out_shape=(shape, shape, shape),
         interpret=interpret,
     )(q, k, v, do)
-    return dq[:, :, :l], dk[:, :, :l], dv[:, :, :l]
+    return dq, dk, dv
 
 
 def _attention_xla(q, k, v):
