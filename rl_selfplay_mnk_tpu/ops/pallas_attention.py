@@ -176,6 +176,213 @@ def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = F
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# Packed-head layout kernels (round-2 layout work).
+#
+# The folded (BH, Dh, L) kernels above need (B, L, H, Dh) <-> (BH, Dh, L)
+# transposes around every custom-call, which XLA must materialize in HBM
+# because it cannot fuse layout ops into an opaque custom-call boundary —
+# measured ~20% of transformer op time (PERFORMANCE.md "Transformer layout
+# costs"). These kernels instead consume (B, L, D) blocks, which is a FREE
+# reshape of flax's natural (B, L, H, Dh) q/k/v (contiguous collapse of the
+# trailing dims — XLA cancels it against the producing projection).
+#
+# Heads are separated by LANE MASKS, not layout: the per-head score
+# contraction over dh<=64 underfills the MXU's 128-deep K axis anyway
+# (PERFORMANCE.md "Where transformer time goes": dh=16 fills 12.5% and pays
+# for 128), so contracting the full padded D with non-head lanes zeroed
+# costs the same MXU passes — and removes every transpose from the graph.
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_batch(
+    requested: int, b: int, l: int, d: int, itemsize: int,
+    n_io: int, n_lxl: int, n_acc: int,
+) -> int:
+    """Largest batch-tile <= requested that divides b and fits the budget.
+
+    n_io: (tile, L, D) I/O blocks (double-buffered by Mosaic);
+    n_lxl: live f32 (tile, L, L) score-shaped intermediates;
+    n_acc: live f32 (tile, L, D) accumulators/temporaries.
+    """
+    lp_sub = ((l + 15) // 16) * 16      # sublane padding (bf16 tile)
+    lp_lane = ((l + 127) // 128) * 128  # lane padding of the L x L blocks
+    dp = ((d + 127) // 128) * 128
+    per_b = (
+        2 * n_io * lp_sub * dp * itemsize
+        + n_lxl * lp_sub * lp_lane * 4
+        + n_acc * lp_sub * dp * 4
+    )
+    tile = min(requested, b)
+    while tile > 1 and (b % tile or tile * per_b > _VMEM_BUDGET):
+        tile //= 2
+    return tile
+
+
+def _packed_fwd_kernel(l_real, h, dh, q_ref, k_ref, v_ref, o_ref):
+    # refs: (TB, L, D) with D = h*dh — heads packed on the lane axis.
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    scale = 1.0 / (dh**0.5)
+    head_of_lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 2) // dh
+    o = jnp.zeros(q.shape, jnp.float32)
+    for head in range(h):
+        hmask = head_of_lane == head
+        qh = jnp.where(hmask, q, 0)
+        s = jax.lax.dot_general(
+            qh, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, Lk) — only head-h lanes contribute
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < l_real, s, NEG_INF)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, D); valid only on head-h lanes
+        o = jnp.where(hmask, oh, o)
+    o_ref[:] = o.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
+def _attention_packed_fwd_pallas(
+    q: jax.Array,  # (B, L, D) — free reshape of flax's (B, L, H, Dh)
+    k: jax.Array,
+    v: jax.Array,
+    h: int,
+    dh: int,
+    tile_batch: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    b, l, d = q.shape
+    tile = _pick_tile_batch(
+        tile_batch, b, l, d, q.dtype.itemsize, n_io=4, n_lxl=2, n_acc=2
+    )
+    spec = pl.BlockSpec((tile, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, l, h, dh),
+        grid=(b // tile,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _packed_bwd_kernel(
+    l_real, h, dh, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref
+):
+    # All refs (TB, L, D). Per head: recompute p in VMEM, then the standard
+    # softmax-attention gradients via full-D masked contractions. dq needs a
+    # lane select (ds @ k has garbage on foreign lanes); dk/dv accumulate —
+    # their q/do operand is already lane-masked so foreign lanes are zero.
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    scale = 1.0 / (dh**0.5)
+    head_of_lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 2) // dh
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk = jnp.zeros(q.shape, jnp.float32)
+    dv = jnp.zeros(q.shape, jnp.float32)
+    for head in range(h):
+        hmask = head_of_lane == head
+        qh = jnp.where(hmask, q, 0)
+        s = jax.lax.dot_general(
+            qh, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < l_real, s, NEG_INF)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)  # (TB, Lq, Lk)
+
+        doh = jnp.where(hmask, do, 0)
+        dp = jax.lax.dot_general(
+            doh, v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, Lk)
+        row = (dp * p).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(q.dtype)
+
+        dqh = jax.lax.dot_general(
+            ds, k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, D)
+        dq = jnp.where(hmask, dqh, dq)
+        dk = dk + jax.lax.dot_general(
+            ds, qh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lk, D)
+        dv = dv + jax.lax.dot_general(
+            p.astype(q.dtype), doh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[:] = dq.astype(q.dtype)
+    dk_ref[:] = dk.astype(q.dtype)
+    dv_ref[:] = dv.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
+def _attention_packed_bwd_pallas(
+    q, k, v, do, h: int, dh: int, tile_batch: int = 32, interpret: bool = False
+):
+    b, l, d = q.shape
+    tile = _pick_tile_batch(
+        tile_batch, b, l, d, q.dtype.itemsize, n_io=7, n_lxl=4, n_acc=4
+    )
+    spec = pl.BlockSpec((tile, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, l, d), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, l, h, dh),
+        grid=(b // tile,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_packed(q, k, v, h, dh, tile_batch, interpret):
+    return _attention_packed_fwd_pallas(
+        q, k, v, h=h, dh=dh, tile_batch=tile_batch, interpret=interpret
+    )
+
+
+def _attention_packed_fwd_rule(q, k, v, h, dh, tile_batch, interpret):
+    return (
+        _attention_packed_fwd_pallas(
+            q, k, v, h=h, dh=dh, tile_batch=tile_batch, interpret=interpret
+        ),
+        (q, k, v),
+    )
+
+
+def _attention_packed_bwd_rule(h, dh, tile_batch, interpret, res, g):
+    q, k, v = res
+    return _attention_packed_bwd_pallas(
+        q, k, v, g.astype(q.dtype),
+        h=h, dh=dh, tile_batch=tile_batch, interpret=interpret,
+    )
+
+
+_attention_packed.defvjp(_attention_packed_fwd_rule, _attention_packed_bwd_rule)
+
+
 def _attention_xla(q, k, v):
     """Plain-XLA reference path in the transposed (BH, Dh, L) layout (also
     the recompute for the backward)."""
@@ -213,15 +420,59 @@ def tiny_head_attention(
     query: jax.Array,  # (B, L, H, Dh) — flax MHA layout
     key: jax.Array,
     value: jax.Array,
-    tile_heads: int = 128,
+    tile_batch: int = 32,
     interpret: bool | None = None,
     **unused_kwargs,
 ):
     """``attention_fn`` drop-in for ``nn.MultiHeadDotProductAttention``.
 
+    For fat heads (dh >= 32 — the `_w` speed tiers) this uses the
+    packed-head (B, L, D) kernels: the only layout ops around the
+    custom-calls are contiguous reshapes, which XLA cancels against the
+    neighbouring q/k/v/out projections (the fold/unfold transposes of the
+    earlier (BH, Dh, L) path cost ~20% of transformer op time —
+    PERFORMANCE.md "Transformer layout costs"; measured end-to-end +27%
+    on transformer_b_s_w). For many tiny heads (dh <= 16: the reference
+    d56/H4 and d96/H8 shapes) the packed kernels' per-head lane-mask and
+    f32-accumulator VPU work exceeds the transpose savings (measured -5%
+    end-to-end on transformer_b_s), so those keep the folded path.
+
     Ignores bias/mask kwargs (board attention is dense, dropout 0 —
     reference transformer.py:18-25).
     """
+    b, l, h, dh = query.shape
+    d = h * dh
+
+    if interpret is None and jax.default_backend() == "cpu":
+        # CPU: skip the (interpreted, slow) kernel — same math via XLA.
+        def fold(t):  # (B, L, H, Dh) -> (BH, Dh, L)
+            return jnp.transpose(t, (0, 2, 3, 1)).reshape(b * h, dh, l)
+
+        out = _attention_xla(fold(query), fold(key), fold(value))
+        return jnp.transpose(out.reshape(b, h, dh, l), (0, 3, 1, 2))
+
+    if dh < 32 and interpret is None:
+        return tiny_head_attention_folded(query, key, value)
+
+    out = _attention_packed(
+        query.reshape(b, l, d),
+        key.reshape(b, l, d),
+        value.reshape(b, l, d),
+        h, dh, tile_batch, bool(interpret),
+    )
+    return out.reshape(b, l, h, dh)
+
+
+def tiny_head_attention_folded(
+    query: jax.Array,  # (B, L, H, Dh) — flax MHA layout
+    key: jax.Array,
+    value: jax.Array,
+    tile_heads: int = 128,
+    interpret: bool | None = None,
+    **unused_kwargs,
+):
+    """Earlier integration path: folded (BH, Dh, L) kernels plus explicit
+    fold/unfold transposes. Kept for A/B measurement and as a fallback."""
     b, l, h, dh = query.shape
 
     def fold(t):  # (B, L, H, Dh) -> (BH, Dh, L)
@@ -231,7 +482,6 @@ def tiny_head_attention(
         return jnp.transpose(o.reshape(b, h, dh, l), (0, 3, 1, 2))
 
     if interpret is None and jax.default_backend() == "cpu":
-        # CPU: skip the (interpreted, slow) kernel — same math via XLA.
         return unfold(_attention_xla(fold(query), fold(key), fold(value)))
 
     out = _attention(

@@ -59,8 +59,10 @@ def main():
 
     # 1. attention kernel alone, already-folded layout
     attn_folded = lambda q: pa._attention(q, q, q, 128, False)
-    # 2. attention incl. fold/unfold transposes (the integration path)
-    attn_flax = lambda q: pa.tiny_head_attention(q, q, q)
+    # 2a. earlier integration path: folded kernel + fold/unfold transposes
+    attn_flax = lambda q: pa.tiny_head_attention_folded(q, q, q)
+    # 2b. packed-head integration path (free reshapes, lane-masked heads)
+    attn_packed = lambda q: pa.tiny_head_attention(q, q, q)
     # 3. the transposes alone (fold + unfold round trip)
     def fold_roundtrip(q):
         t = jnp.transpose(q, (0, 2, 3, 1)).reshape(b * h, dh, l)
@@ -82,6 +84,8 @@ def main():
         ("attn kernel fwd+bwd (folded)", grad_of(attn_folded), qt),
         ("attn fwd (flax layout, fold+unfold)", attn_flax, qf),
         ("attn fwd+bwd (flax layout)", grad_of(attn_flax), qf),
+        ("attn fwd (packed-head layout)", attn_packed, qf),
+        ("attn fwd+bwd (packed-head layout)", grad_of(attn_packed), qf),
         ("fold/unfold transposes alone", fold_roundtrip, qf),
         ("fold/unfold fwd+bwd", grad_of(fold_roundtrip), qf),
         ("layernorm fwd+bwd", grad_of(ln_fn), x),
