@@ -159,3 +159,21 @@ def test_train_mnk_full_driver_on_mesh(tmp_path, monkeypatch):
     assert not any(k.startswith("error/") for rec in lines for k in rec)
     steps = [r["_step"] for r in lines if "training/mean_reward" in r]
     assert steps and min(steps) >= 16 * 8 * 5
+
+
+def test_scaling_bench_smoke():
+    """tools/scaling_bench.py runs on the virtual CPU mesh and reports a
+    sane weak-scaling efficiency (the harness that produces BASELINE.md's
+    scaling number on a real pod — keep it from bit-rotting)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.scaling_bench import run_scaling
+
+    points = run_scaling(
+        [1, 2], envs_per_device=8, n_steps=4, batch_size=16,
+        iters=1, warmup=1, arch="resnet_b_s",
+    )
+    assert [p["devices"] for p in points] == [1, 2]
+    assert points[0]["efficiency"] == 1.0
+    assert points[1]["num_envs"] == 16
+    assert all(p["steps_per_sec"] > 0 for p in points)
