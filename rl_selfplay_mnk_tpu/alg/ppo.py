@@ -59,11 +59,18 @@ class PPOConfig:
         With time-major flattening a group = ``group_size`` adjacent envs
         at one timestep — envs are independent games, so within-group
         samples are nearly i.i.d. and the shuffle is statistically
-        equivalent to "global".
-      * "tiled"   — communication-free multi-chip variant: independent
-        permutations within ``shard_groups`` contiguous env blocks, so
-        minibatch gathers never cross shard boundaries on an env-sharded
-        mesh. Statistically equivalent; documented deviation.
+        equivalent to "global". With ``shard_groups`` > 1 (an env-sharded
+        mesh) the flatten is shard-major (each device's rows stay local —
+        the global transpose is a per-device reshape) and the group
+        permutation is drawn independently per shard, so group gathers
+        never cross shard boundaries: the same mode serves 1 chip and a
+        pod with identical per-device behavior (weak-scaling sweeps stay
+        apples-to-apples — ADVICE.md round-1 medium finding).
+      * "tiled"   — communication-free multi-chip variant of "global":
+        independent ROW permutations within ``shard_groups`` contiguous
+        env blocks, so minibatch gathers never cross shard boundaries on
+        an env-sharded mesh. Statistically equivalent; row gathers are
+        latency-bound on TPU — prefer "grouped" there.
     """
 
     env: EnvConfig
@@ -86,6 +93,13 @@ class PPOConfig:
     # deadline (the axon TPU tunnel kills executions around ~90s; the
     # 5-layer transformers' 4-epoch update at 256 minibatches is >70s).
     update_chunks: int = 1
+    # Parity with the reference's ``run.watch(network)`` (train.py:94):
+    # when True the update additionally accumulates PER-LAYER squared
+    # gradient norms on-device (a handful of tiny fused reductions per
+    # minibatch) and reports sqrt(mean-over-updates) per layer in
+    # TrainingMetrics.layer_grad_norms. Cadence/histograms are the host
+    # loop's concern (train.py watch_interval).
+    watch: bool = False
 
     @property
     def total_batch(self) -> int:
@@ -130,6 +144,8 @@ class TrainingMetrics:
     fps: float
     rollout_time: float
     learn_time: float
+    # watch mode (PPOConfig.watch): {"Layer_0/kernel": rms-grad-norm, ...}
+    layer_grad_norms: Optional[dict] = None
 
 
 # ---------------------------------------------------------------------------
@@ -243,10 +259,30 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
     """
     if config.shuffle == "grouped":
         n_groups = config.total_batch // config.group_size
+        mb_groups = config.batch_size // config.group_size
+        if config.shard_groups > 1:
+            # Shard-local group shuffle: shard s owns group block
+            # [s*per, (s+1)*per) of the shard-major flatten (see
+            # _update_prepare_impl); each minibatch takes mb_groups/d
+            # groups from every shard, so gathers stay on-device.
+            d = config.shard_groups
+            assert n_groups % d == 0 and mb_groups % d == 0, (
+                f"grouped shuffle over {d} shards needs group counts "
+                f"divisible by the shard count (total {n_groups}, "
+                f"per-minibatch {mb_groups})"
+            )
+            per = n_groups // d
+            keys = jax.random.split(rng, d)
+            perms = jax.vmap(lambda k: jax.random.permutation(k, per))(keys)
+            perms = perms + jnp.arange(d)[:, None] * per  # (d, per)
+            mb = mb_groups // d
+            return (
+                perms.reshape(d, config.num_minibatches, mb)
+                .transpose(1, 0, 2)
+                .reshape(config.num_minibatches, mb_groups)
+            )
         perm = jax.random.permutation(rng, n_groups)
-        return perm.reshape(
-            config.num_minibatches, config.batch_size // config.group_size
-        )
+        return perm.reshape(config.num_minibatches, mb_groups)
     n = config.total_batch
     if config.shuffle == "tiled" and config.shard_groups > 1:
         g = config.shard_groups
@@ -280,8 +316,26 @@ _METRIC_KEYS = (
 )
 
 
-def zero_metric_sums() -> dict:
-    return {k: jnp.zeros((), jnp.float32) for k in _METRIC_KEYS}
+def zero_metric_sums(config: "PPOConfig" = None, params: Any = None) -> dict:
+    sums = {k: jnp.zeros((), jnp.float32) for k in _METRIC_KEYS}
+    if config is not None and config.watch:
+        sums["layer_grad_sq"] = jax.tree.map(
+            lambda p: jnp.zeros((), jnp.float32), params
+        )
+    return sums
+
+
+def tree_path_norms(tree: Any) -> dict:
+    """Flatten a pytree of scalars/arrays into {"Conv_0/kernel": float-array}
+    with '/'-joined key paths (the wandb watch key layout)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        out[name] = leaf
+    return out
 
 
 def _update_prepare_impl(
@@ -313,17 +367,35 @@ def _update_prepare_impl(
     if grouped:
         assert config.total_batch % config.group_size == 0
         assert config.batch_size % config.group_size == 0
+        n_groups = config.total_batch // config.group_size
 
-        # Time-major flatten (no transpose): row t*E+e, so a contiguous
-        # group of ``group_size`` rows = adjacent envs at one timestep.
-        # The buffers are then viewed as (n_groups, group_size, ...) and
-        # minibatches gather whole groups — large contiguous DMAs instead
-        # of latency-bound row gathers.
-        def flat(x):
-            return x.reshape(
-                (config.total_batch // config.group_size, config.group_size)
-                + x.shape[2:]
-            )
+        if config.shard_groups > 1:
+            # Shard-major, then time-major flatten: group block s holds
+            # exactly shard s's (T, E/d) slice, so on an env-sharded mesh
+            # the global (T,d,E/d)->(d,T,E/d) transpose moves no bytes —
+            # each device just reshapes its local block — and the
+            # shard-local permutation (_minibatch_indices) keeps every
+            # group gather on-device. Groups remain "adjacent envs at one
+            # timestep" whenever group_size divides E/d.
+            d = config.shard_groups
+
+            def flat(x):
+                t, e = x.shape[0], x.shape[1]
+                y = jnp.swapaxes(
+                    x.reshape((t, d, e // d) + x.shape[2:]), 0, 1
+                )
+                return y.reshape((n_groups, config.group_size) + x.shape[2:])
+
+        else:
+            # Time-major flatten (no transpose): row t*E+e, so a contiguous
+            # group of ``group_size`` rows = adjacent envs at one timestep.
+            # The buffers are then viewed as (n_groups, group_size, ...) and
+            # minibatches gather whole groups — large contiguous DMAs
+            # instead of latency-bound row gathers.
+            def flat(x):
+                return x.reshape(
+                    (n_groups, config.group_size) + x.shape[2:]
+                )
 
     else:
         # Flatten env-major so an env-sharded mesh keeps each env's samples
@@ -432,8 +504,14 @@ def _update_epochs_impl(
         params = optax.apply_updates(params, updates)
         batch_stats = aux["batch_stats"]
         aux["grad_norm"] = grad_norm
-        sums = {k: sums[k] + aux[k] for k in _METRIC_KEYS}
-        return (params, batch_stats, opt_state, sums), None
+        new_sums = {k: sums[k] + aux[k] for k in _METRIC_KEYS}
+        if config.watch:
+            new_sums["layer_grad_sq"] = jax.tree.map(
+                lambda s, g: s + jnp.sum(jnp.square(g.astype(jnp.float32))),
+                sums["layer_grad_sq"],
+                grads,
+            )
+        return (params, batch_stats, opt_state, new_sums), None
 
     def epoch_body(carry, k_epoch):
         params, batch_stats, opt_state, sums = carry
@@ -470,11 +548,21 @@ def update_impl(
     epoch_keys = jax.random.split(rng, config.ppo_epochs)
     params, batch_stats, opt_state, sums = _update_epochs_impl(
         module, config, optimizer, params, batch_stats, opt_state,
-        flats, entropy_coef, epoch_keys, zero_metric_sums(),
+        flats, entropy_coef, epoch_keys, zero_metric_sums(config, params),
     )
+    return params, batch_stats, opt_state, finalize_metric_sums(config, sums)
+
+
+def finalize_metric_sums(config: PPOConfig, sums: dict) -> dict:
+    """Average the per-update metric sums; per-layer grad accumulators
+    become RMS-over-updates gradient norms (watch mode)."""
     n_updates = config.updates_per_iteration
-    metrics = {k: v / n_updates for k, v in sums.items()}
-    return params, batch_stats, opt_state, metrics
+    metrics = {k: sums[k] / n_updates for k in _METRIC_KEYS}
+    if config.watch:
+        metrics["layer_grad_norms"] = jax.tree.map(
+            lambda s: jnp.sqrt(s / n_updates), sums["layer_grad_sq"]
+        )
+    return metrics
 
 
 # Jitted entry for host-driven loops. params/batch_stats are deliberately
@@ -500,6 +588,22 @@ update_epochs = jax.jit(
     static_argnames=("module", "config", "optimizer"),
     donate_argnames=("opt_state", "sums"),
 )
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def _param_stats_jit(params: Any, bins: int = 0):
+    """Per-leaf L2 norms and optional fixed-bin histograms, one program
+    (a per-leaf eager loop would pay one tunnel round trip per layer)."""
+    f32 = lambda p: p.astype(jnp.float32)
+    norms = jax.tree.map(lambda p: jnp.sqrt(jnp.sum(jnp.square(f32(p)))), params)
+    hists = None
+    if bins:
+        def hist(p):
+            counts, edges = jnp.histogram(f32(p).ravel(), bins=bins)
+            return {"counts": counts, "edges": edges}
+
+        hists = jax.tree.map(hist, params)
+    return norms, hists
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +792,14 @@ class PPOLearner:
         # pipeline to completion — float conversions are device syncs).
         fin_dev, metrics_dev = jax.device_get((fin, metrics))
         fin_host = [float(x) for x in fin_dev]
+        layer_grad_norms = None
+        if cfg.watch:
+            layer_grad_norms = {
+                f"gradients/{name}/norm": float(v)
+                for name, v in tree_path_norms(
+                    metrics_dev.pop("layer_grad_norms")
+                ).items()
+            }
         metrics_host = {k: float(v) for k, v in metrics_dev.items()}
         if precise_timing:
             learn_time = time.perf_counter() - t1
@@ -710,7 +822,31 @@ class PPOLearner:
             fps=fps,
             rollout_time=rollout_time,
             learn_time=learn_time,
+            layer_grad_norms=layer_grad_norms,
         )
+
+    def param_stats(self, histogram_bins: int = 0) -> dict:
+        """Per-layer parameter L2 norms (+ optional fixed-bin histograms),
+        computed in ONE jitted program — the parameter half of the
+        reference's ``run.watch`` (train.py:94). Returns flat wandb-style
+        keys: ``parameters/<path>/norm`` (floats) and, with
+        ``histogram_bins`` > 0, ``parameters/<path>/hist`` dicts."""
+        norms, hists = _param_stats_jit(self.params, histogram_bins)
+        out = {
+            f"parameters/{name}/norm": float(v)
+            for name, v in jax.device_get(tree_path_norms(norms)).items()
+        }
+        if histogram_bins:
+            flat = jax.device_get(tree_path_norms(hists))
+            for name in list(flat):
+                if name.endswith("/counts"):
+                    base = name[: -len("/counts")]
+                    out[f"parameters/{base}/hist"] = {
+                        "_type": "histogram",
+                        "counts": [int(c) for c in flat[name]],
+                        "edges": [float(e) for e in flat[base + "/edges"]],
+                    }
+        return out
 
     def _update_chunked(self, traj, entropy_coef: float, k_upd: jax.Array):
         """Same math as the monolithic ``update`` but dispatched as
@@ -725,7 +861,7 @@ class PPOLearner:
         epoch_keys = jax.random.split(k_upd, cfg.ppo_epochs)
         n_chunks = min(cfg.update_chunks, cfg.ppo_epochs)
         base, rem = divmod(cfg.ppo_epochs, n_chunks)
-        sums = zero_metric_sums()
+        sums = zero_metric_sums(cfg, self.params)
         ec = jnp.float32(entropy_coef)
         start = 0
         for i in range(n_chunks):
@@ -748,5 +884,4 @@ class PPOLearner:
                 sums,
             )
             start += size
-        n_updates = cfg.updates_per_iteration
-        return {k: v / n_updates for k, v in sums.items()}
+        return finalize_metric_sums(cfg, sums)

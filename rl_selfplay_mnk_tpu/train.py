@@ -96,6 +96,12 @@ def get_default_config() -> Dict[str, Any]:
         # each playing a different opponent gathered from the pool/snapshot
         # (device-side stacked params + vmap; extension beyond the reference)
         "opponents_per_iteration": 1,
+        # run.watch parity (reference train.py:94): every N iterations log
+        # per-layer gradient RMS norms (accumulated on-device across the
+        # update) and parameter norms. 20 iters ~= wandb.watch's default
+        # log_freq=1000 backward passes at 48 updates/iteration. 0 = off.
+        "watch_interval": 20,
+        "watch_histograms": False,  # also log 16-bin parameter histograms
     }
 
 
@@ -118,13 +124,13 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
     num_devices = mesh.devices.size if mesh is not None else 1
     shuffle = config.get("shuffle", "auto")
     if shuffle == "auto":
-        # multi-chip: shard-local tiles; single accelerator: group-gather
-        # (row gathers are latency-bound on TPU); CPU: exact reference
-        # global shuffle.
-        if num_devices > 1:
-            shuffle = "tiled"
-        elif hw.is_accelerator:
+        # accelerator: group-gather DMAs (row gathers are latency-bound on
+        # TPU), shard-local when the mesh has >1 device; multi-device CPU:
+        # shard-local row tiles; single CPU: exact reference global shuffle.
+        if hw.is_accelerator:
             shuffle = "grouped"
+        elif num_devices > 1:
+            shuffle = "tiled"
         else:
             shuffle = "global"
     ppo_cfg = PPOConfig(
@@ -138,8 +144,9 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         batch_size=config["batch_size"],
         shuffle=shuffle,
         shard_groups=num_devices,
-        group_size=pick_group_size(config["batch_size"]),
+        group_size=pick_group_size(config["batch_size"] // num_devices),
         update_chunks=config.get("update_chunks", 1),
+        watch=config.get("watch_interval", 0) > 0,
     )
     lr_schedule = make_lr_schedule(
         base_lr=config["learning_rate"],
@@ -424,6 +431,19 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 logger, metrics, i, current_env_steps, ent_coef, current_lr
             )
 
+            # run.watch parity (reference train.py:94): per-layer gradient
+            # RMS norms came back with this iteration's metrics; parameter
+            # norms (+ optional histograms) are one extra jitted program.
+            watch_interval = config.get("watch_interval", 0)
+            if watch_interval and i % watch_interval == 0:
+                watch_rec = dict(metrics.layer_grad_norms or {})
+                watch_rec.update(
+                    learner.param_stats(
+                        16 if config.get("watch_histograms") else 0
+                    )
+                )
+                logger.log(watch_rec, step=current_env_steps)
+
             if i % 20 == 0:
                 pool.add_opponent(learner.variables, weight=last_score_rate)
 
@@ -588,6 +608,18 @@ def main(argv=None) -> None:
         "programs (bit-identical math) — keeps single-program execution "
         "under RPC deadlines for big models at large env counts",
     )
+    parser.add_argument(
+        "--watch-interval",
+        type=int,
+        default=None,
+        help="log per-layer gradient/parameter norms every N iterations "
+        "(run.watch parity; 0 disables)",
+    )
+    parser.add_argument(
+        "--watch-histograms",
+        action="store_true",
+        help="also log 16-bin parameter histograms at the watch cadence",
+    )
     args = parser.parse_args(argv)
 
     config = get_default_config()
@@ -615,6 +647,10 @@ def main(argv=None) -> None:
         config["matchmaking"] = args.matchmaking
     if args.update_chunks is not None:
         config["update_chunks"] = args.update_chunks
+    if args.watch_interval is not None:
+        config["watch_interval"] = args.watch_interval
+    if args.watch_histograms:
+        config["watch_histograms"] = True
 
     with MetricsLogger(
         project="mnk",

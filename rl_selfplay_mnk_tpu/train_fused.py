@@ -80,6 +80,11 @@ def train_mnk_fused(
             process_id=config.get("process_id"),
         )
 
+    # watch-mode per-layer grad trees don't stack across the fused
+    # iteration scan; the host-loop driver is the watch surface.
+    if config.get("watch_interval"):
+        config = {**config, "watch_interval": 0}
+
     hw = detect_hardware_config()
     mesh = None
     if config.get("use_mesh", True) and hw.num_devices > 1:

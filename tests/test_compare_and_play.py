@@ -84,6 +84,115 @@ def test_elo_tracker_orders_by_strength():
     assert a["win_rate"] == pytest.approx(19 / 20)
 
 
+def _random_match_df(n_matches, n_players, seed):
+    rng = np.random.default_rng(seed)
+    p1 = rng.integers(0, n_players, n_matches)
+    p2 = (p1 + 1 + rng.integers(0, n_players - 1, n_matches)) % n_players
+    w1 = rng.integers(0, 11, n_matches)
+    d = rng.integers(0, 11 - w1)
+    w2 = 10 - w1 - d
+    return pd.DataFrame(
+        {
+            "player1_unique_id": [f"P{i}" for i in p1],
+            "player2_unique_id": [f"P{i}" for i in p2],
+            "player1_run_name": [f"run{i % 3}" for i in p1],
+            "player2_run_name": [f"run{i % 3}" for i in p2],
+            "player1_iteration": p1,
+            "player2_iteration": p2,
+            "total_games": 10,
+            "player1_wins": w1,
+            "player2_wins": w2,
+            "draws": d,
+            "player1_score": (w1 + 0.5 * d) / 10,
+            "player2_score": (w2 + 0.5 * d) / 10,
+        }
+    )
+
+
+def _sequential_oracle(df, initial=1500.0, k=32.0):
+    """Scalar Gauss-Seidel sweep: the reference tracker's contract
+    (elo_tracker.py:26-44) restated as a straight-line test oracle."""
+    ratings = {p: initial for p in set(df.player1_unique_id) | set(df.player2_unique_id)}
+    cols = list(zip(df.player1_unique_id, df.player2_unique_id, df.player1_score, df.player2_score))
+    for _ in range(50):
+        total = 0.0
+        for a, b, sa, sb in cols:
+            ea = 1.0 / (1.0 + 10.0 ** ((ratings[b] - ratings[a]) / 400.0))
+            da = k * (sa - ea)
+            db = k * (sb - (1.0 - ea))
+            ratings[a] += da
+            ratings[b] += db
+            total += abs(da) + abs(db)
+        if total / (2 * len(cols)) < 0.1:
+            break
+    return ratings
+
+
+@pytest.fixture(params=["native", "wavefront"])
+def elo_path(request, monkeypatch):
+    """Run ELO tests through both the C sweep and the numpy fallback."""
+    import rl_selfplay_mnk_tpu.compare.elo as elo_mod
+
+    if request.param == "wavefront":
+        monkeypatch.setattr(elo_mod, "_native_tried", True)
+        monkeypatch.setattr(elo_mod, "_native_lib", None)
+    else:
+        if elo_mod._load_native() is None:
+            pytest.skip("no C compiler available")
+    return request.param
+
+
+def test_elo_sweep_matches_sequential_oracle_exactly(elo_path):
+    """Both the native sweep and the vectorized wavefront sweep must be
+    float64-identical to the sequential per-match sweep the reference
+    performs (dependency-exact scheduling, not an approximation)."""
+    df = _random_match_df(300, 17, seed=3)
+    got = ELOTracker().calculate_ratings(df)
+    want = _sequential_oracle(df)
+    for _, row in got.iterrows():
+        assert row["rating"] == pytest.approx(round(want[row["unique_id"]], 2), abs=0)
+
+
+def test_elo_golden_fixture():
+    """Regression pin: exact ratings on a fixed match list."""
+    df = _random_match_df(40, 6, seed=0)
+    got = ELOTracker().calculate_ratings(df).set_index("unique_id")["rating"]
+    want = _sequential_oracle(df)
+    for pid, r in want.items():
+        assert got[pid] == round(r, 2)
+
+
+def test_elo_wavefront_speed():
+    """10k matches must rate in well under a second (VERDICT.md item 2)."""
+    import time
+
+    df = _random_match_df(10_000, 64, seed=1)
+    t0 = time.perf_counter()
+    ratings = ELOTracker().calculate_ratings(df)
+    dt = time.perf_counter() - t0
+    assert len(ratings) == 64
+    assert dt < 1.0, f"10k-match ELO took {dt:.2f}s"
+
+
+def test_elo_wavefront_schedule_properties():
+    """No player twice in a wave; waves preserve per-player match order."""
+    from rl_selfplay_mnk_tpu.compare.elo import wavefront_schedule
+
+    rng = np.random.default_rng(2)
+    p1 = rng.integers(0, 9, 200)
+    p2 = (p1 + 1 + rng.integers(0, 8, 200)) % 9
+    order, bounds = wavefront_schedule(p1, p2, 9)
+    seen_wave = {}
+    for w in range(len(bounds) - 1):
+        sel = order[bounds[w] : bounds[w + 1]]
+        players = np.concatenate([p1[sel], p2[sel]])
+        assert len(set(players.tolist())) == len(players)  # disjoint in wave
+        for i in sel:
+            for p in (p1[i], p2[i]):
+                assert seen_wave.get(p, -1) < w  # deps in earlier waves
+                seen_wave[p] = w
+
+
 @pytest.fixture
 def exported_models(tmp_path):
     from rl_selfplay_mnk_tpu.models.registry import (

@@ -32,7 +32,7 @@ class TinyMLP(nn.Module):
         return ActorCriticHeads(action_dim=self.action_dim, hidden=32)(x[:, None, :])
 
 
-def _learner(mesh, num_envs, shuffle, shard_groups, seed=0):
+def _learner(mesh, num_envs, shuffle, shard_groups, seed=0, group_size=8):
     env_cfg = EnvConfig(3, 3, 3)
     module = TinyMLP(action_dim=9)
     variables = dict(module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 2, 3, 3))))
@@ -45,6 +45,7 @@ def _learner(mesh, num_envs, shuffle, shard_groups, seed=0):
         ppo_epochs=2,
         shuffle=shuffle,
         shard_groups=shard_groups,
+        group_size=group_size,
     )
     optimizer = optax.chain(
         optax.clip_by_global_norm(0.5), optax.adamw(1e-3, eps=1e-5)
@@ -170,10 +171,33 @@ def test_scaling_bench_smoke():
     from tools.scaling_bench import run_scaling
 
     points = run_scaling(
-        [1, 2], envs_per_device=8, n_steps=4, batch_size=16,
+        [1, 2], envs_per_device=8, n_steps=4, batch_per_device=16,
         iters=1, warmup=1, arch="resnet_b_s",
     )
     assert [p["devices"] for p in points] == [1, 2]
     assert points[0]["efficiency"] == 1.0
     assert points[1]["num_envs"] == 16
     assert all(p["steps_per_sec"] > 0 for p in points)
+
+
+def test_scaling_bench_rejects_oversubscribed_mesh():
+    """Requesting more devices than exist must fail loudly, not silently
+    mislabel the point (ADVICE.md round-1 finding 2)."""
+    from tools.scaling_bench import run_point
+
+    with pytest.raises(ValueError, match="available"):
+        run_point(999, 8, 4, 16, 1, 0, "resnet_b_s")
+
+
+@pytest.mark.parametrize("shuffle", ["grouped", "tiled"])
+def test_full_train_step_on_mesh_shard_local_shuffles(shuffle):
+    """Both shard-local shuffle modes run the full train step on the mesh
+    (grouped = the production TPU mode used by the weak-scaling sweep)."""
+    n_devices = 4
+    mesh = make_mesh(num_devices=n_devices)
+    learner = _learner(
+        mesh, num_envs=16, shuffle=shuffle, shard_groups=n_devices
+    )
+    rp = RandomPolicy()
+    m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert np.isfinite(m.actor_loss)

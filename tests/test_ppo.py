@@ -180,6 +180,7 @@ def test_minibatch_indices_cover_everything_once():
         ("global", {}, 512),
         ("tiled", {"shard_groups": 4}, 512),
         ("grouped", {"group_size": 16}, 32),  # 512/16 groups
+        ("grouped", {"group_size": 16, "shard_groups": 4}, 32),  # shard-local
     ]:
         cfg = PPOConfig(**base, shuffle=mode, **kwargs)
         idx = _minibatch_indices(cfg, jax.random.PRNGKey(0))

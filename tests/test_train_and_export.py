@@ -239,6 +239,8 @@ def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
         use_mesh=False,
         checkpoint_interval=0,
         entropy_coef_schedule=None,
+        watch_interval=3,  # run.watch parity: grad/param norms every 3 iters
+        watch_histograms=True,
     )
     logger = MetricsLogger(
         run_name="micro", config=config, out_dir=str(tmp_path / "runs"),
@@ -256,6 +258,23 @@ def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
     assert "training/mean_reward" in keys
     assert "validation/vs_benchmark/score_rate" in keys
     assert not any(k.startswith("error/") for k in keys)
+
+    # run.watch parity: per-layer grad + param norms and histograms landed
+    grad_keys = [k for k in keys if k.startswith("gradients/")]
+    param_keys = [k for k in keys if k.startswith("parameters/")]
+    assert any(k.endswith("/norm") for k in grad_keys), grad_keys
+    assert any(k.endswith("/norm") for k in param_keys)
+    hists = [
+        rec[k] for rec in lines for k in rec
+        if k.startswith("parameters/") and k.endswith("/hist")
+    ]
+    assert hists and len(hists[0]["counts"]) == 16
+    assert len(hists[0]["edges"]) == 17
+    watch_vals = [
+        v for rec in lines for k, v in rec.items()
+        if k.startswith(("gradients/", "parameters/")) and k.endswith("/norm")
+    ]
+    assert all(isinstance(v, float) and v >= 0 for v in watch_vals)
 
     # exports happened: validations at i=2,4 plus the final export at i=6
     exported = os.listdir(tmp_path / "models" / "micro")
