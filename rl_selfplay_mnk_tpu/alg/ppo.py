@@ -264,7 +264,12 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
             # Shard-local group shuffle: shard s owns group block
             # [s*per, (s+1)*per) of the shard-major flatten (see
             # _update_prepare_impl); each minibatch takes mb_groups/d
-            # groups from every shard, so gathers stay on-device.
+            # groups from every shard. Indices are returned PER-SHARD —
+            # (num_minibatches, d, mb_groups/d) LOCAL group ids — so the
+            # minibatch gather is a batched gather whose batch axis is the
+            # shard axis: GSPMD partitions it with zero communication
+            # (a flat global gather would lower to a masked all-reduce of
+            # every minibatch — measured in the round-2 HLO audit).
             d = config.shard_groups
             assert n_groups % d == 0 and mb_groups % d == 0, (
                 f"grouped shuffle over {d} shards needs group counts "
@@ -274,12 +279,10 @@ def _minibatch_indices(config: PPOConfig, rng: jax.Array) -> jax.Array:
             per = n_groups // d
             keys = jax.random.split(rng, d)
             perms = jax.vmap(lambda k: jax.random.permutation(k, per))(keys)
-            perms = perms + jnp.arange(d)[:, None] * per  # (d, per)
             mb = mb_groups // d
-            return (
-                perms.reshape(d, config.num_minibatches, mb)
-                .transpose(1, 0, 2)
-                .reshape(config.num_minibatches, mb_groups)
+            # (d, per) -> (d, num_minibatches, mb) -> (num_minibatches, d, mb)
+            return perms.reshape(d, config.num_minibatches, mb).transpose(
+                1, 0, 2
             )
         perm = jax.random.permutation(rng, n_groups)
         return perm.reshape(config.num_minibatches, mb_groups)
@@ -446,8 +449,20 @@ def _update_epochs_impl(
     b_returns = flats["returns"]
     b_adv = flats["adv"]
 
+    sharded_grouped = grouped and config.shard_groups > 1
+
     def loss_fn(params, batch_stats, idx):
         def take(x):
+            if sharded_grouped:
+                # idx: (d, mb) LOCAL group ids; x: (d*per, group, ...)
+                # shard-major. Batched gather over the sharded shard axis —
+                # provably communication-free under GSPMD.
+                d = config.shard_groups
+                xs = x.reshape((d, x.shape[0] // d) + x.shape[1:])
+                picked = jax.vmap(lambda b, ii: jnp.take(b, ii, axis=0))(
+                    xs, idx
+                )
+                return picked.reshape((config.batch_size,) + x.shape[2:])
             picked = jnp.take(x, idx, axis=0)
             return picked.reshape((config.batch_size,) + x.shape[2:]) if grouped \
                 else picked

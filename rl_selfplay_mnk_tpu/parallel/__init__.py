@@ -4,7 +4,10 @@ from .mesh import (
     replicated_sharding,
     shard_batched,
     replicate,
+    put_global,
     init_distributed,
+    process_index,
+    is_coordinator,
 )
 
 __all__ = [
@@ -13,5 +16,8 @@ __all__ = [
     "replicated_sharding",
     "shard_batched",
     "replicate",
+    "put_global",
     "init_distributed",
+    "process_index",
+    "is_coordinator",
 ]

@@ -21,6 +21,7 @@ layouts through scan/while bodies, so the same programs run unmodified on
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -48,6 +49,40 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x: Any, sharding: NamedSharding):
+    """Place a value as a GLOBAL array under ``sharding``.
+
+    Single-process: plain ``device_put``. Multi-process (jax.distributed
+    initialized, mesh spanning hosts): every process passes the same full
+    value (host array, or a fully-replicated/process-local array holding
+    identical bytes on every host — the framework's host loops are
+    deterministic and seeded identically, so redundantly-computed values
+    qualify); each process extracts its addressable devices' index slices
+    and the shards are assembled into one global array
+    (``jax.make_array_from_single_device_arrays``) with NO cross-host
+    transfer — the TPU-pod equivalent of the reference's single-GPU tensor
+    construction.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding == sharding:
+            return x
+        if not x.is_fully_replicated:
+            # already global under a different layout: let the runtime
+            # reshard (collective); the host-copy path below would fail
+            return jax.device_put(x, sharding)
+    if len(sharding.device_set) == 1:
+        return jax.device_put(jax.numpy.asarray(x), sharding)
+    # Multi-device: assemble from per-device shards — the identical code
+    # path single-process (virtual meshes, dryrun_multichip) and on a pod,
+    # so every mesh test exercises the pod construction.
+    x = np.asarray(x)
+    idx_map = sharding.devices_indices_map(x.shape)
+    local = [
+        jax.device_put(x[idx_map[d]], d) for d in sharding.addressable_devices
+    ]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, local)
+
+
 def shard_batched(tree: Any, mesh: Mesh, batch_size: Optional[int] = None) -> Any:
     """Place every leaf with its leading axis sharded over the env axis.
 
@@ -72,14 +107,14 @@ def shard_batched(tree: Any, mesh: Mesh, batch_size: Optional[int] = None) -> An
 
     def place(x):
         x = jax.numpy.asarray(x)
-        return jax.device_put(x, es if is_batch(x) else rs)
+        return put_global(x, es if is_batch(x) else rs)
 
     return jax.tree.map(place, tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     rs = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), rs), tree)
+    return jax.tree.map(lambda x: put_global(x, rs), tree)
 
 
 def init_distributed(
@@ -87,15 +122,37 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init (no-op when single-process).
+    """Multi-host init (no-op when single-process or already initialized).
 
     On TPU pods jax.distributed.initialize() autodetects everything from the
-    environment; explicit args support manual / GPU-style bring-up.
+    environment; explicit args support manual bring-up (and the 2-process
+    CPU tests, which need gloo cross-host collectives).
     """
     if num_processes is not None and num_processes <= 1:
         return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (idempotent: train drivers + callers)
+    # NOTE: must not query backends here — jax.distributed.initialize has to
+    # run before backend initialization. Config strings are safe to read.
+    platforms = str(
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    )
+    if "cpu" in platforms:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns host-side I/O (export, checkpoint
+    metadata, metric streams). Single-process: always True."""
+    return jax.process_index() == 0

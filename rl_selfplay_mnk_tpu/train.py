@@ -175,7 +175,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
         logger = MetricsLogger(project="mnk", config=config)
 
     # Multi-host bring-up (TPU pods): one process per host, envs sharded
-    # over the global device set. No-op single-process.
+    # over the global device set. No-op single-process / already-initialized.
     if config.get("multihost"):
         from .parallel.mesh import init_distributed
 
@@ -185,6 +185,23 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             process_id=config.get("process_id"),
         )
 
+    # Process-0-only host I/O: every process drives the identical train loop
+    # (same seeds -> same opponent draws/promotions), but exports, metric
+    # streams and stdout belong to the coordinator. Orbax checkpoints stay
+    # COOPERATIVE (all processes participate below — required for globally
+    # sharded env state).
+    from .parallel.mesh import is_coordinator
+
+    coordinator = is_coordinator()
+    if not coordinator:
+        from .utils.metrics import NullMetricsLogger
+
+        logger = NullMetricsLogger(run_name=logger.run_name, config=config)
+
+    def say(*args, **kwargs):
+        if coordinator:
+            print(*args, **kwargs)
+
     hw = detect_hardware_config()
     mesh = None
     if config.get("use_mesh", True) and hw.num_devices > 1:
@@ -193,7 +210,12 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             "num_envs must divide evenly over devices"
         )
 
-    exporter = ModelExporter(logger.run_name)
+    if coordinator:
+        exporter = ModelExporter(logger.run_name)
+    else:
+        from .utils.model_export import NullModelExporter
+
+        exporter = NullModelExporter(logger.run_name)
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
@@ -373,9 +395,9 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 learner._ep_len = shard_batched(learner._ep_len, learner.mesh, e)
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
-            print(f"Resumed from checkpoint at iteration {start_iteration}")
+            say(f"Resumed from checkpoint at iteration {start_iteration}")
 
-    print(f"Starting training for {total_iterations} iterations")
+    say(f"Starting training for {total_iterations} iterations")
 
     current_env_steps = start_iteration * steps_per_iteration
     for i in range(start_iteration, total_iterations):
@@ -448,7 +470,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 pool.add_opponent(learner.variables, weight=last_score_rate)
 
             if i > 0 and i % config["validation_interval"] == 0:
-                print(
+                say(
                     f"--- Running validation at step {i} "
                     f"({current_env_steps:,} env steps) ---"
                 )
@@ -468,13 +490,13 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 win_rate = validation_res["validation/vs_benchmark/win_rate"]
                 draw_rate = validation_res["validation/vs_benchmark/draw_rate"]
                 loss_rate = validation_res["validation/vs_benchmark/loss_rate"]
-                print(
+                say(
                     f"Score: {score_rate:.2f} | W: {win_rate:.2f} | "
                     f"D: {draw_rate:.2f} | L: {loss_rate:.2f}"
                 )
 
                 if score_rate > config["benchmark_update_threshold_score"]:
-                    print(f"--- New benchmark agent at step {i}! ---")
+                    say(f"--- New benchmark agent at step {i}! ---")
                     benchmark_variables = fold_jit(learner.variables)
                     exporter.export_model(
                         learner.variables,
@@ -504,7 +526,7 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             # state; rebuild it so "continue" actually can (PPOLearner.recover).
             recovered = learner.recover()
             if recovered:
-                print(f"Recovered learner state: {', '.join(recovered)}")
+                say(f"Recovered learner state: {', '.join(recovered)}")
             continue
 
     exporter.export_model(
@@ -620,6 +642,15 @@ def main(argv=None) -> None:
         action="store_true",
         help="also log 16-bin parameter histograms at the watch cadence",
     )
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed (TPU pods autodetect; manual "
+        "bring-up takes the three flags below)",
+    )
+    parser.add_argument("--coordinator-address", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
 
     config = get_default_config()
@@ -651,6 +682,37 @@ def main(argv=None) -> None:
         config["watch_interval"] = args.watch_interval
     if args.watch_histograms:
         config["watch_histograms"] = True
+    if args.multihost:
+        if not args.run_name:
+            parser.error(
+                "--multihost needs --run-name (all processes must agree on "
+                "export/checkpoint paths; a timestamp default could differ "
+                "between hosts)"
+            )
+        config["multihost"] = True
+        config["coordinator_address"] = args.coordinator_address
+        config["num_processes"] = args.num_processes
+        config["process_id"] = args.process_id
+        # Initialize BEFORE any logger/backend touch so only process 0
+        # creates the metric stream and backends see the global topology.
+        from .parallel.mesh import init_distributed, is_coordinator
+
+        init_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not is_coordinator():
+            from .utils.metrics import NullMetricsLogger
+
+            with NullMetricsLogger(run_name=args.run_name, config=config) as logger:
+                if args.fused:
+                    from .train_fused import train_mnk_fused
+
+                    train_mnk_fused(config, logger)
+                else:
+                    train_mnk(config, logger)
+            return
 
     with MetricsLogger(
         project="mnk",

@@ -87,6 +87,32 @@ class MetricsLogger:
         self.finish()
 
 
+class NullMetricsLogger:
+    """No-op logger for non-coordinator processes in multi-host runs: every
+    process drives the same train loop, only process 0 writes metrics
+    (parallel/mesh.py is_coordinator). API-compatible with MetricsLogger."""
+
+    def __init__(self, run_name: Optional[str] = None, config=None, **_):
+        self.config = dict(config or {})
+        self.run_name = run_name or time.strftime("%Y%m%d_%H%M%S")
+        self.jsonl_path = os.devnull
+
+    def log(self, metrics, step=None) -> None:
+        pass
+
+    def watch(self, *args, **kwargs) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
 def _jsonable(d: Dict[str, Any]) -> Dict[str, Any]:
     out = {}
     for k, v in d.items():

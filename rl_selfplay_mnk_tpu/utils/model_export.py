@@ -70,6 +70,19 @@ class ModelMetadata:
         )
 
 
+class NullModelExporter:
+    """Export facade for non-coordinator processes in multi-host runs: the
+    train loop calls export at the same points on every process, but only
+    process 0 touches the filesystem (parallel/mesh.py is_coordinator)."""
+
+    def __init__(self, run_name: Optional[str] = None, base_dir: str = "models"):
+        self.run_name = run_name
+        self.export_dir = os.path.join(base_dir, run_name or "null")
+
+    def export_model(self, *args, **kwargs) -> str:
+        return ""
+
+
 class ModelExporter:
     """Writes weight+metadata pairs under ``models/<run>/`` (reference :88-128)."""
 

@@ -1,0 +1,76 @@
+"""Subprocess entry for the multi-process training tests.
+
+Launched by tests/test_multiprocess.py: N copies of this script form one
+logical multi-host training run (jax.distributed over localhost, virtual CPU
+devices per process, gloo cross-process collectives). Each process drives
+the SAME train_mnk loop; process 0 owns metrics/export, checkpoints are
+cooperative — exactly the TPU-pod execution model (SURVEY.md §2.3 /
+VERDICT.md round-1 item 1).
+"""
+
+import argparse
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint-interval", type=int, default=0)
+    ap.add_argument("--run-name", required=True)
+    ap.add_argument("--workdir", required=True)
+    args = ap.parse_args()
+    os.chdir(args.workdir)
+
+    import jax
+
+    from rl_selfplay_mnk_tpu.parallel.mesh import init_distributed
+
+    if args.num_processes > 1:
+        init_distributed(
+            coordinator_address=f"localhost:{args.port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger, NullMetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=16,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=2,
+        total_environment_steps=16 * 8 * args.iters,
+        validation_interval=2,
+        validation_episodes=16,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=True,
+        checkpoint_interval=args.checkpoint_interval,
+        checkpoint_dir=os.path.join(args.workdir, "ckpt", args.run_name),
+        resume=args.resume,
+        entropy_coef_schedule=None,
+        watch_interval=0,
+    )
+    if jax.process_index() == 0:
+        logger = MetricsLogger(
+            run_name=args.run_name, config=config, out_dir="runs",
+            use_wandb=False,
+        )
+    else:
+        logger = NullMetricsLogger(run_name=args.run_name, config=config)
+    with logger:
+        train_mnk(config, logger)
+    print(f"runner process {args.process_id} done", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -180,12 +180,22 @@ def test_minibatch_indices_cover_everything_once():
         ("global", {}, 512),
         ("tiled", {"shard_groups": 4}, 512),
         ("grouped", {"group_size": 16}, 32),  # 512/16 groups
-        ("grouped", {"group_size": 16, "shard_groups": 4}, 32),  # shard-local
     ]:
         cfg = PPOConfig(**base, shuffle=mode, **kwargs)
         idx = _minibatch_indices(cfg, jax.random.PRNGKey(0))
         flat = np.sort(np.asarray(idx).ravel())
         np.testing.assert_array_equal(flat, np.arange(n_expected))
+
+    # shard-local grouped: per-shard LOCAL ids (num_minibatches, d, mb);
+    # every shard's local id range must be covered exactly once per epoch
+    cfg = PPOConfig(**base, shuffle="grouped", group_size=16, shard_groups=4)
+    idx = np.asarray(_minibatch_indices(cfg, jax.random.PRNGKey(0)))
+    assert idx.shape == (4, 4, 2)  # (minibatches, shards, groups/shard/mb)
+    per_shard = 32 // 4
+    for s in range(4):
+        np.testing.assert_array_equal(
+            np.sort(idx[:, s, :].ravel()), np.arange(per_shard)
+        )
 
 
 def test_grouped_shuffle_trains_equivalently():
