@@ -356,28 +356,60 @@ def _attention_packed_bwd_pallas(
     )(q, k, v, do)
 
 
+# --- mesh partitioning -----------------------------------------------------
+# pallas_call is an opaque custom-call: without a rule, GSPMD/Shardy must
+# all-gather batch-sharded q/k/v around every attention (measured in the
+# round-2 HLO audit — tests/test_pallas_sharding.py). Every kernel here is
+# embarrassingly parallel over dim 0 (the grid tiles it; L and D stay
+# whole), so each entry is wrapped in custom_partitioning with the SDY rule
+# "batch shardable, L/D replicated": each device runs the kernel on its own
+# shard, zero communication — on the CPU test mesh and on a pod alike.
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_partitioned(pallas_entry, n_in: int, n_out: int, **statics):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(*args):
+        return pallas_entry(*args, **statics)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh = tuple(s.sharding for s in arg_shapes)
+        out_sh = jax.tree.map(lambda s: s.sharding, result_shape)
+        return mesh, impl, out_sh, arg_sh
+
+    ins = ", ".join(["b x y"] * n_in)
+    outs = ", ".join(["b x y"] * n_out)
+    f.def_partition(
+        partition=partition,
+        sharding_rule=f"{ins} -> {outs}",
+        need_replication_factors=("x", "y"),
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _attention_packed(q, k, v, h, dh, tile_batch, interpret):
-    return _attention_packed_fwd_pallas(
-        q, k, v, h=h, dh=dh, tile_batch=tile_batch, interpret=interpret
-    )
+    return _attention_packed_fwd_rule(q, k, v, h, dh, tile_batch, interpret)[0]
 
 
 def _attention_packed_fwd_rule(q, k, v, h, dh, tile_batch, interpret):
-    return (
-        _attention_packed_fwd_pallas(
-            q, k, v, h=h, dh=dh, tile_batch=tile_batch, interpret=interpret
-        ),
-        (q, k, v),
+    fwd = _batch_partitioned(
+        _attention_packed_fwd_pallas, 3, 1,
+        h=h, dh=dh, tile_batch=tile_batch, interpret=interpret,
     )
+    return fwd(q, k, v), (q, k, v)
 
 
 def _attention_packed_bwd_rule(h, dh, tile_batch, interpret, res, g):
     q, k, v = res
-    return _attention_packed_bwd_pallas(
-        q, k, v, g.astype(q.dtype),
+    bwd = _batch_partitioned(
+        _attention_packed_bwd_pallas, 4, 3,
         h=h, dh=dh, tile_batch=tile_batch, interpret=interpret,
     )
+    return bwd(q, k, v, g.astype(q.dtype))
 
 
 _attention_packed.defvjp(_attention_packed_fwd_rule, _attention_packed_bwd_rule)
@@ -395,22 +427,23 @@ def _attention_xla(q, k, v):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention(q, k, v, tile_heads, interpret):
-    return _attention_fwd_pallas(q, k, v, tile_heads=tile_heads, interpret=interpret)
+    return _attention_fwd_rule(q, k, v, tile_heads, interpret)[0]
 
 
 def _attention_fwd_rule(q, k, v, tile_heads, interpret):
-    return (
-        _attention_fwd_pallas(q, k, v, tile_heads=tile_heads, interpret=interpret),
-        (q, k, v),
+    fwd = _batch_partitioned(
+        _attention_fwd_pallas, 3, 1, tile_heads=tile_heads, interpret=interpret
     )
+    return fwd(q, k, v), (q, k, v)
 
 
 def _attention_bwd_rule(tile_heads, interpret, res, g):
     q, k, v = res
-    return _attention_bwd_pallas(
-        q, k, v, g.astype(q.dtype),
+    bwd = _batch_partitioned(
+        _attention_bwd_pallas, 4, 3,
         tile_heads=min(tile_heads, 32), interpret=interpret,
     )
+    return bwd(q, k, v, g.astype(q.dtype))
 
 
 _attention.defvjp(_attention_fwd_rule, _attention_bwd_rule)

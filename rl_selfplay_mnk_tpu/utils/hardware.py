@@ -26,16 +26,33 @@ class HardwareConfig:
 
     @property
     def is_accelerator(self) -> bool:
-        return self.platform != "cpu"
+        # explicit allowlist: an unknown platform gets the conservative
+        # CPU policy (f32 compute, exact reference shuffle)
+        return self.platform in ("tpu", "gpu")
+
+
+def resolve_platform_policy(raw_platform: str):
+    """(canonical platform, compute dtype) for a PJRT platform name.
+
+    The full policy matrix (pinned by tests/test_hardware.py):
+      axon -> tpu, bf16   (the remote-tunnel plugin's name for a TPU chip)
+      tpu  -> tpu, bf16
+      gpu/cuda/rocm -> gpu, bf16
+      cpu / anything else -> cpu-style f32 (params are f32 everywhere; this
+      is the COMPUTE dtype — reference AMP autocast equivalent)
+    """
+    platform = raw_platform.lower()
+    if platform in ("tpu", "axon"):
+        platform = "tpu"
+    elif platform in ("gpu", "cuda", "rocm"):
+        platform = "gpu"
+    compute_dtype = jnp.bfloat16 if platform in ("tpu", "gpu") else jnp.float32
+    return platform, compute_dtype
 
 
 def detect_hardware_config() -> HardwareConfig:
     devices = jax.devices()
-    platform = devices[0].platform
-    # The remote-tunnel plugin reports platform "axon" for a real TPU chip.
-    if platform in ("tpu", "axon"):
-        platform = "tpu"
-    compute_dtype = jnp.bfloat16 if platform in ("tpu", "gpu") else jnp.float32
+    platform, compute_dtype = resolve_platform_policy(devices[0].platform)
     cfg = HardwareConfig(
         platform=platform,
         num_devices=len(devices),

@@ -237,7 +237,23 @@ def test_loader_and_tournament_end_to_end(exported_models, tmp_path):
     viz_dir = str(tmp_path / "viz")
     ResultsVisualizer(viz_dir).create_all_visualizations(ratings)
     assert os.path.exists(os.path.join(viz_dir, "elo_progression.png"))
-    assert os.path.exists(os.path.join(viz_dir, "elo_progression.html"))
+    html = open(os.path.join(viz_dir, "elo_progression.html")).read()
+    # interactive contract (reference plotly chart): inline data + SVG chart
+    # + hover tooltip + toggleable legend, all self-contained (no CDN deps)
+    assert "<svg" in html and "const DATA" in html
+    assert "tip" in html and "mousemove" in html and "legend" in html
+    # self-contained: no external scripts/styles/images fetched
+    assert 'src="http' not in html and 'href="http' not in html
+    for uid in ratings["unique_id"]:
+        assert str(uid).split("/")[0] in html  # run names reach the page
+    datasets = json.loads(html.split("const DATA = ")[1].split(";\n")[0])
+    pts = {
+        (s["run"], p["iteration"]): p for s in datasets for p in s["points"]
+    }
+    row = ratings.iloc[0]
+    pt = pts[(str(row["run_name"]), int(row["iteration"]))]
+    assert pt["rating"] == float(row["rating"])
+    assert pt["wins"] == int(row["wins"])
 
 
 def test_compare_models_cli(exported_models, tmp_path, monkeypatch, capsys):
