@@ -116,11 +116,13 @@ def run_bench_fused(
     arch: str,
     use_pallas: bool = False,
 ):
-    """Throughput of the device-resident fused pipeline (alg/fused.py):
-    ``iters`` whole training iterations — opponent draws from the device
-    pool included — execute as ONE compiled program."""
+    """Throughput of the device-resident fused pipeline (alg/fused.py),
+    dispatch auto-selected like train_fused: the scanned single-program
+    block at small per-iteration work, per-iteration host-dispatched
+    programs (fetch-free) at bench scale — the mode that matches the
+    host-loop's buffer aliasing (evidence/fused_ablation_8192.log)."""
     from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
-    from rl_selfplay_mnk_tpu.alg.fused import train_block
+    from rl_selfplay_mnk_tpu.alg.fused import train_block, train_step_iteration
     from rl_selfplay_mnk_tpu.alg.ppo import pick_group_size
     from rl_selfplay_mnk_tpu.alg.schedules import make_entropy_coef_fn
     from rl_selfplay_mnk_tpu.env import EnvConfig
@@ -171,8 +173,20 @@ def run_bench_fused(
     )
     rng = jax.random.PRNGKey(2)
 
+    step_dispatch = num_envs * n_steps >= 1_000_000  # train_fused "auto"
+
     def block(state, rng, it0, length):
         rng, k = jax.random.split(rng)
+        if step_dispatch:
+            carry = state[:8] + (k,)
+            outs = []
+            for j in range(length):
+                carry, m = train_step_iteration(
+                    module, config, optimizer, policy_act, entropy_fn,
+                    0.15, 20, carry, it0 + j, jnp.float32(1.0),
+                )
+                outs.append(m)  # futures — fetched by the caller
+            return carry[:8], rng, outs
         carry, stacked = train_block(
             module, config, optimizer, policy_act, entropy_fn,
             length, 0.15, 20,

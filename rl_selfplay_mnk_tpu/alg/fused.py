@@ -113,67 +113,10 @@ def train_block(
     """
 
     def body(carry, i):
-        (
-            params, batch_stats, opt_state, pool, sp_state, obs,
-            ep_rew, ep_len, rng,
-        ) = carry
-        it = iteration0 + i
-        rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
-
-        # Opponent schedule (reference train.py:108-114): 15% historical
-        # from the pool, else a snapshot of the current network. The pool
-        # sample is a gather; both branches are merged with a dense select.
-        current = {"params": params, "batch_stats": batch_stats}
-        sampled = pool_sample(pool, k_pick)
-        historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
-        opponent = _select(historical, sampled, current)
-
-        sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), _ = rollout_impl(
-            module,
-            config,
-            opponent_apply,
-            params,
-            batch_stats,
-            opponent,
-            sp_state,
-            obs,
-            ep_rew,
-            ep_len,
-            k_roll,
+        return _iteration_impl(
+            module, config, optimizer, opponent_apply, entropy_fn,
+            pool_prob, insert_interval, carry, iteration0 + i, insert_weight,
         )
-        ent_coef = entropy_fn(it)
-        params, batch_stats, opt_state, metrics = update_impl(
-            module,
-            config,
-            optimizer,
-            params,
-            batch_stats,
-            opt_state,
-            traj,
-            obs,
-            ent_coef,
-            k_upd,
-        )
-
-        # Pool insertion cadence (reference :122-123): every
-        # ``insert_interval`` iterations, post-update snapshot. The masked
-        # insert touches only the written slot, not the whole stacked pool.
-        do_insert = (it % insert_interval) == 0
-        pool = pool_add_if(
-            pool,
-            {"params": params, "batch_stats": batch_stats},
-            insert_weight,
-            do_insert,
-        )
-
-        out = dict(metrics)
-        out["entropy_coef"] = ent_coef
-        out["historical_opponent"] = historical
-        out["fin_reward"], out["fin_length"], out["fin_count"] = fin
-        return (
-            params, batch_stats, opt_state, pool, sp_state, obs,
-            ep_rew, ep_len, rng,
-        ), out
 
     carry = (
         params, batch_stats, opt_state, pool, sp_state, obs,
@@ -183,3 +126,154 @@ def train_block(
         body, carry, jnp.arange(block_len, dtype=jnp.int32)
     )
     return carry, stacked
+
+
+def _iteration_impl(
+    module, config, optimizer, opponent_apply, entropy_fn,
+    pool_prob, insert_interval, carry, it, insert_weight,
+):
+    """One whole device-resident iteration: opponent draw -> rollout ->
+    update -> masked pool insert. Shared by the scanned block (above) and
+    the per-iteration dispatch (``train_iteration`` below)."""
+    (
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        ep_rew, ep_len, rng,
+    ) = carry
+    rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
+
+        # Opponent schedule (reference train.py:108-114): 15% historical
+    # from the pool, else a snapshot of the current network. The pool
+    # sample is a gather; both branches are merged with a dense select.
+    current = {"params": params, "batch_stats": batch_stats}
+    sampled = pool_sample(pool, k_pick)
+    historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
+    opponent = _select(historical, sampled, current)
+
+    sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), _ = rollout_impl(
+        module,
+        config,
+        opponent_apply,
+        params,
+        batch_stats,
+        opponent,
+        sp_state,
+        obs,
+        ep_rew,
+        ep_len,
+        k_roll,
+    )
+    ent_coef = entropy_fn(it)
+    params, batch_stats, opt_state, metrics = update_impl(
+        module,
+        config,
+        optimizer,
+        params,
+        batch_stats,
+        opt_state,
+        traj,
+        obs,
+        ent_coef,
+        k_upd,
+    )
+
+    # Pool insertion cadence (reference :122-123): every
+    # ``insert_interval`` iterations, post-update snapshot. The masked
+    # insert touches only the written slot, not the whole stacked pool.
+    do_insert = (it % insert_interval) == 0
+    pool = pool_add_if(
+        pool,
+        {"params": params, "batch_stats": batch_stats},
+        insert_weight,
+        do_insert,
+    )
+
+    out = dict(metrics)
+    out["entropy_coef"] = ent_coef
+    out["historical_opponent"] = historical
+    out["fin_reward"], out["fin_length"], out["fin_count"] = fin
+    return (
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        ep_rew, ep_len, rng,
+    ), out
+
+
+# ---------------------------------------------------------------------------
+# Dispatch mode "step": the same iteration as a handful of HOST-DISPATCHED
+# programs instead of one scanned/merged program. Measured motivation
+# (evidence/fused_ablation_8192.log, resnet_b_s @ 8192 envs):
+#
+#   standalone rollout + update programs : 7.80 s/iter   (host-loop core)
+#   rollout+update merged into ONE program: 8.26 s/iter  (+6%)
+#   whole block scanned (train_block)    : 9.00 s/iter   (+15%)
+#
+# XLA's buffer assignment is strictly worse once the two phases share a
+# program (and worse again under the outer scan's conservative loop-carry
+# copies), so the fast large-scale dispatch is the host-loop's OWN donated
+# rollout/update programs — plus two tiny device programs for the opponent
+# draw and the pool insert, and NO fetches inside a block (metric handles
+# stay futures until the validation boundary). Bit-identical to the
+# scanned block: same RNG split structure, same masked-insert semantics
+# (tests/test_fused.py::test_step_dispatch_matches_scanned_block_bitwise).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("entropy_fn", "pool_prob"),
+)
+def _draw_program(entropy_fn, pool_prob, pool, params, batch_stats, rng, it):
+    """Opponent draw + per-iteration keys + entropy coef, on device (one
+    tiny program; consumes RNG exactly like train_block's scan body)."""
+    rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
+    current = {"params": params, "batch_stats": batch_stats}
+    sampled = pool_sample(pool, k_pick)
+    historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
+    opponent = _select(historical, sampled, current)
+    return rng, k_roll, k_upd, opponent, historical, entropy_fn(it)
+
+
+_pool_insert = jax.jit(pool_add_if, donate_argnames=("pool",))
+
+
+def train_step_iteration(
+    module, config, optimizer, opponent_apply, entropy_fn,
+    pool_prob, insert_interval, carry, it: int, insert_weight,
+):
+    """One fused-driver iteration as host-dispatched standalone programs.
+
+    Threads the same carry tuple as one ``train_block`` scan step and
+    returns the same per-iteration metrics dict (as device futures — the
+    caller fetches once per block). ``it`` is a HOST int: the pool-insert
+    cadence check happens host-side, so 19 of 20 iterations skip the insert
+    program entirely (the masked on-device insert with do_insert=False is
+    an identity, so this is bit-equivalent)."""
+    from .ppo import rollout, update
+
+    (
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        ep_rew, ep_len, rng,
+    ) = carry
+    rng, k_roll, k_upd, opponent, historical, ent_coef = _draw_program(
+        entropy_fn, pool_prob, pool, params, batch_stats, rng,
+        jnp.int32(it),
+    )
+    sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), _ = rollout(
+        module, config, opponent_apply, params, batch_stats, opponent,
+        sp_state, obs, ep_rew, ep_len, k_roll,
+    )
+    params, batch_stats, opt_state, metrics = update(
+        module, config, optimizer, params, batch_stats, opt_state,
+        traj, obs, ent_coef, k_upd,
+    )
+    if it % insert_interval == 0:
+        pool = _pool_insert(
+            pool, {"params": params, "batch_stats": batch_stats},
+            insert_weight, jnp.bool_(True),
+        )
+    out = dict(metrics)
+    out["entropy_coef"] = ent_coef
+    out["historical_opponent"] = historical
+    out["fin_reward"], out["fin_length"], out["fin_count"] = fin
+    return (
+        params, batch_stats, opt_state, pool, sp_state, obs,
+        ep_rew, ep_len, rng,
+    ), out

@@ -38,8 +38,9 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
-from .alg.fused import train_block
+from .alg.fused import train_block, train_step_iteration
 from .alg.ppo import TrainingMetrics
 from .alg.schedules import make_entropy_coef_fn
 from .models.fold_bn import fold_batchnorm
@@ -171,9 +172,27 @@ def train_mnk_fused(
             learner.iteration = start_iteration
             print(f"Resumed from checkpoint at iteration {start_iteration}")
 
+    # Dispatch strategy for a block of iterations (same math either way —
+    # pinned bit-identical by tests/test_fused.py):
+    #   "scan" — ONE XLA execution per block; wins when per-iteration wall
+    #            time is small (the reference's 384-env scale: every host
+    #            round trip is ~10% of an iteration).
+    #   "step" — one fused program per iteration, host-dispatched without
+    #            fetches; standalone-program buffer aliasing applies, which
+    #            the outer scan's conservative loop-carry assignment loses
+    #            ~8% to at bench scale (evidence/fused_ablation_8192.log),
+    #            and no single execution can hit an RPC deadline.
+    # "auto" picks by per-iteration work (threshold from the ablation).
+    dispatch = config.get("fused_dispatch", "auto")
+    if dispatch == "auto":
+        dispatch = (
+            "step"
+            if config["num_envs"] * config["n_steps"] >= 1_000_000
+            else "scan"
+        )
     print(
         f"Starting fused training for {total_iterations} iterations "
-        f"(validation every {vint})"
+        f"(validation every {vint}, dispatch={dispatch})"
     )
     learner.reset_envs(policy_act, learner.variables)
 
@@ -186,35 +205,61 @@ def train_mnk_fused(
         try:
             learner.rng, k_block = jax.random.split(learner.rng)
             t0 = time.perf_counter()
-            carry, stacked = train_block(
-                module,
-                learner.config,
-                learner.optimizer,
-                policy_act,
-                entropy_fn,
-                block_len,
-                POOL_PROB,
-                POOL_INSERT_INTERVAL,
-                learner.params,
-                learner.batch_stats,
-                learner.opt_state,
-                pool,
-                learner._sp_state,
-                learner._obs,
-                learner._ep_rew,
-                learner._ep_len,
-                k_block,
-                jnp.int32(i),
-                # Uniform pool sampling is the reference behavior; score-
-                # weighted insertion only under the explicit extension flag
-                # (train_block contract: "score rate in weighted-pool mode;
-                # 1.0 otherwise").
-                jnp.float32(
-                    max(last_score_rate, 1e-3)
-                    if config.get("pool_weighted")
-                    else 1.0
-                ),
+            # Uniform pool sampling is the reference behavior; score-
+            # weighted insertion only under the explicit extension flag
+            # (train_block contract: "score rate in weighted-pool mode;
+            # 1.0 otherwise").
+            insert_w = jnp.float32(
+                max(last_score_rate, 1e-3)
+                if config.get("pool_weighted")
+                else 1.0
             )
+            if dispatch == "step":
+                # Per-iteration host-dispatched programs (the host-loop's
+                # own donated rollout/update programs + tiny pool ops),
+                # fetch-free within the block — bit-identical to the
+                # scanned block (tests/test_fused.py).
+                carry = (
+                    learner.params, learner.batch_stats,
+                    learner.opt_state, pool, learner._sp_state,
+                    learner._obs, learner._ep_rew, learner._ep_len, k_block,
+                )
+                outs = []
+                for j in range(block_len):
+                    carry, m = train_step_iteration(
+                        module, learner.config, learner.optimizer,
+                        policy_act, entropy_fn, POOL_PROB,
+                        POOL_INSERT_INTERVAL, carry, i + j, insert_w,
+                    )
+                    outs.append(m)  # futures — one batched fetch below
+                outs_host = jax.device_get(outs)
+                stacked_host = {
+                    k: _np.asarray([m[k] for m in outs_host])
+                    for k in outs_host[0]
+                }
+            else:
+                carry, stacked = train_block(
+                    module,
+                    learner.config,
+                    learner.optimizer,
+                    policy_act,
+                    entropy_fn,
+                    block_len,
+                    POOL_PROB,
+                    POOL_INSERT_INTERVAL,
+                    learner.params,
+                    learner.batch_stats,
+                    learner.opt_state,
+                    pool,
+                    learner._sp_state,
+                    learner._obs,
+                    learner._ep_rew,
+                    learner._ep_len,
+                    k_block,
+                    jnp.int32(i),
+                    insert_w,
+                )
+                stacked_host = jax.device_get(stacked)
             (
                 learner.params,
                 learner.batch_stats,
@@ -226,7 +271,6 @@ def train_mnk_fused(
                 learner._ep_len,
                 _,
             ) = carry
-            stacked_host = jax.device_get(stacked)
             block_time = time.perf_counter() - t0
             per_iter = block_time / block_len
 

@@ -126,6 +126,53 @@ def test_train_block_runs_and_stacks_metrics():
     assert np.abs(flat1 - flat0).max() > 0
 
 
+def test_step_dispatch_matches_scanned_block_bitwise():
+    """Per-iteration dispatch (train_step_iteration x L: the host-loop's
+    own rollout/update programs + device pool ops) must be bit-identical to
+    the scanned block — the two are alternative dispatch strategies for the
+    SAME math (dispatch mode selection must never change results)."""
+    from rl_selfplay_mnk_tpu.alg.fused import train_step_iteration
+
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup()
+    entropy_fn = make_entropy_coef_fn(0.04, ENT_SCHEDULE, 8, 8)
+    block_len = 3
+
+    def fresh():
+        pool = pool_init(variables, max_size=3)
+        pool = pool_add(pool, variables, 1.0)
+        ep0 = jnp.zeros((config.num_envs,), jnp.float32)
+        ep1 = jnp.zeros((config.num_envs,), jnp.float32)
+        return jax.tree.map(
+            jnp.copy,
+            (variables["params"], variables["batch_stats"], opt_state, pool,
+             jax.tree.map(jnp.copy, sp_state), obs, ep0, ep1,
+             jax.random.PRNGKey(2)),
+        )
+
+    carry_a, stacked = train_block(
+        module, config, optimizer, policy_act, entropy_fn,
+        block_len, 0.15, 20, *fresh(), jnp.int32(0), jnp.float32(1.0),
+    )
+
+    carry_b = fresh()
+    outs = []
+    for i in range(block_len):
+        carry_b, m = train_step_iteration(
+            module, config, optimizer, policy_act, entropy_fn, 0.15, 20,
+            carry_b, i, jnp.float32(1.0),
+        )
+        outs.append(m)
+
+    for a, b in zip(jax.tree.leaves(carry_a), jax.tree.leaves(carry_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for key in stacked:
+        got = np.stack([np.asarray(m[key]) for m in outs])
+        np.testing.assert_array_equal(np.asarray(stacked[key]), got)
+
+
 def test_train_block_iteration_offset_controls_cadence():
     """With iteration0=19 the second iteration (it=20) triggers the pool
     insert, not the first."""

@@ -9,7 +9,11 @@ standalone programs? Times each composition on the live backend.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -215,6 +219,32 @@ def main():
     fetch(out)
     t = time.perf_counter() - t0
     print(f"full train_block({L})     : {t / L:.3f}s/iter (incl. copy overhead)")
+
+    # ---- per-iteration multi-program dispatch (deferred fetch) ------------
+    from rl_selfplay_mnk_tpu.alg.fused import train_step_iteration
+
+    def steps_fresh():
+        carry = jax.tree.map(
+            jnp.copy,
+            (params, batch_stats, opt_state, pool, sp_state, obs, ep0, ep1,
+             jax.random.PRNGKey(8)),
+        )
+        outs = []
+        for i in range(L):
+            carry, m = train_step_iteration(
+                module, config, optimizer, policy_act, entropy_fn,
+                0.15, 20, carry, 1 + i, jnp.float32(1.0),
+            )
+            outs.append(m)  # futures — no fetch inside the block
+        return outs
+
+    outs = steps_fresh()
+    fetch(outs[-1])
+    t0 = time.perf_counter()
+    outs = steps_fresh()
+    fetch(outs[-1])
+    t = time.perf_counter() - t0
+    print(f"step dispatch x{L}        : {t / L:.3f}s/iter (incl. copy overhead)")
 
 
 if __name__ == "__main__":

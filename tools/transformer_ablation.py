@@ -68,13 +68,64 @@ def time_update(module, batch: int, steps: int, obs_shape=(2, 9, 9)) -> float:
     return (time.perf_counter() - t0) / steps * 1e3  # ms/step
 
 
+def run_bl_preset(args, dtype):
+    """Attribute transformer_b_l's update cost (d96 L5 H8 dh12, the slowest
+    family member: 8.3k env-steps/s round 1 — VERDICT item 4)."""
+
+    def tfm(**kw):
+        base = dict(
+            action_dim=81, embed_dim=96, num_layers=5, num_heads=8,
+            head_hidden=128, ffn_dim=None, dtype=dtype,
+        )
+        base.update(kw)
+        return tfm_mod.TransformerActorCritic(**base)
+
+    def xla_attention(query, key, value, **kw):
+        b, l, h, dh = query.shape
+
+        def fold(t):
+            return jnp.transpose(t, (0, 2, 3, 1)).reshape(b * h, dh, l)
+
+        out = pallas_attention._attention_xla(
+            fold(query), fold(key), fold(value)
+        )
+        return jnp.transpose(out.reshape(b, h, dh, l), (0, 3, 1, 2))
+
+    variants = [
+        ("b_l full (d96 L5 H8 dh12, pallas)", tfm(), None),
+        ("b_l XLA attention", tfm(), xla_attention),
+        ("L1 (layer-count scaling)", tfm(num_layers=1), None),
+        ("L5 no FFN", tfm(ffn_dim=0), None),
+        ("L5 H4 (dh24)", tfm(num_heads=4), None),
+        ("L5 H2 (dh48)", tfm(num_heads=2), None),
+        ("L5 H1 (dh96)", tfm(num_heads=1), None),
+        ("heads only (num_layers=0)", tfm(num_layers=0), None),
+    ]
+    orig = tfm_mod.tiny_head_attention
+    for name, module, attn in variants:
+        tfm_mod.tiny_head_attention = attn or orig
+        try:
+            ms = time_update(module, args.batch, args.steps)
+        finally:
+            tfm_mod.tiny_head_attention = orig
+        print(f"{name:45s} {ms:8.2f} ms/step", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--preset", default="b_s_w", choices=["b_s_w", "b_l"],
+        help="b_l = the 5-layer d96/H8 budget-L shape (round-2 target)",
+    )
     args = p.parse_args()
     dtype = jnp.dtype(args.dtype)
+
+    if args.preset == "b_l":
+        run_bl_preset(args, dtype)
+        return
 
     def tfm(**kw):
         base = dict(
