@@ -250,6 +250,222 @@ def _packed_fwd_kernel(l_real, h, dh, q_ref, k_ref, v_ref, o_ref):
     o_ref[:] = o.astype(q.dtype)
 
 
+def _lane_slice_fwd_kernel(l_real, h, dh, q_ref, k_ref, v_ref, o_ref):
+    # refs (TB, L, D): per-head LANE slices contracted directly over the
+    # minor axis — no transposes anywhere (experimental variant (c) of the
+    # b_l layout study).
+    scale = 1.0 / (dh**0.5)
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    outs = []
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        qh = q[:, :, sl]  # (TB, L, dh)
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, Lk)
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < l_real, s, NEG_INF)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, dh)
+        outs.append(oh)
+    o_ref[:] = jnp.concatenate(outs, axis=2).astype(q_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
+def _attention_lane_slice_fwd_pallas(
+    q, k, v, h: int, dh: int, tile_batch: int = 32, interpret: bool = False
+):
+    b, l, d = q.shape
+    tile = _pick_tile_batch(
+        tile_batch, b, l, d, q.dtype.itemsize, n_io=7, n_lxl=2, n_acc=2
+    )
+    spec = pl.BlockSpec((tile, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lane_slice_fwd_kernel, l, h, dh),
+        grid=(b // tile,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _infold_fwd_kernel(l_real, h, dh, q_ref, k_ref, v_ref, o_ref):
+    # refs (TB, L, D) — heads packed on lanes, SAME HBM layout as the packed
+    # kernel (a free reshape of flax's (B, L, H, Dh)). One in-VMEM
+    # swapaxes per operand puts dh on the SUBLANE axis; per-head sublane
+    # slices then run the folded kernel's exact matmuls. This trades the
+    # XLA-materialized HBM fold/unfold transposes (measured 24% of
+    # transformer_b_l device time — PERFORMANCE.md round-2 b_l study) for
+    # VMEM-local shuffles, without the packed kernel's H full-(L,D)
+    # lane-mask passes.
+    scale = 1.0 / (dh**0.5)
+    q = jnp.swapaxes(q_ref[:], 1, 2)  # (TB, D, L)
+    k = jnp.swapaxes(k_ref[:], 1, 2)
+    v = jnp.swapaxes(v_ref[:], 1, 2)
+    outs = []
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        qh = q[:, sl, :]
+        kh = k[:, sl, :]
+        vh = v[:, sl, :]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, Lk)
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < l_real, s, NEG_INF)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            vh, p.astype(vh.dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, dh, Lq)
+        outs.append(oh)
+    o = jnp.concatenate(outs, axis=1)  # (TB, D, L)
+    o_ref[:] = jnp.swapaxes(o, 1, 2).astype(q_ref.dtype)
+
+
+def _infold_bwd_kernel(
+    l_real, h, dh, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref
+):
+    scale = 1.0 / (dh**0.5)
+    q = jnp.swapaxes(q_ref[:], 1, 2)  # (TB, D, L)
+    k = jnp.swapaxes(k_ref[:], 1, 2)
+    v = jnp.swapaxes(v_ref[:], 1, 2)
+    do = jnp.swapaxes(do_ref[:], 1, 2)
+    dqs, dks, dvs = [], [], []
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        qh = q[:, sl, :]
+        kh = k[:, sl, :]
+        vh = v[:, sl, :]
+        doh = do[:, sl, :]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < l_real, s, NEG_INF)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)  # (TB, Lq, Lk)
+
+        dp = jax.lax.dot_general(
+            doh, vh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, Lq, Lk)
+        row = (dp * p).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(q_ref.dtype)
+
+        dqs.append(jax.lax.dot_general(
+            kh, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            qh, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dvs.append(jax.lax.dot_general(
+            doh, p.astype(q_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    dtype = q_ref.dtype
+    dq_ref[:] = jnp.swapaxes(jnp.concatenate(dqs, axis=1), 1, 2).astype(dtype)
+    dk_ref[:] = jnp.swapaxes(jnp.concatenate(dks, axis=1), 1, 2).astype(dtype)
+    dv_ref[:] = jnp.swapaxes(jnp.concatenate(dvs, axis=1), 1, 2).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
+def _attention_infold_fwd_pallas(
+    q: jax.Array,  # (B, L, D)
+    k: jax.Array,
+    v: jax.Array,
+    h: int,
+    dh: int,
+    tile_batch: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    b, l, d = q.shape
+    # transposed working copies live alongside the I/O blocks
+    tile = _pick_tile_batch(
+        tile_batch, b, l, d, q.dtype.itemsize, n_io=7, n_lxl=2, n_acc=2
+    )
+    spec = pl.BlockSpec((tile, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_infold_fwd_kernel, l, h, dh),
+        grid=(b // tile,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
+def _attention_infold_bwd_pallas(
+    q, k, v, do, h: int, dh: int, tile_batch: int = 32, interpret: bool = False
+):
+    b, l, d = q.shape
+    tile = _pick_tile_batch(
+        tile_batch, b, l, d, q.dtype.itemsize, n_io=12, n_lxl=4, n_acc=3
+    )
+    spec = pl.BlockSpec((tile, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, l, d), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_infold_bwd_kernel, l, h, dh),
+        grid=(b // tile,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_infold(q, k, v, h, dh, tile_batch, interpret):
+    return _attention_infold_fwd_rule(q, k, v, h, dh, tile_batch, interpret)[0]
+
+
+def _attention_infold_fwd_rule(q, k, v, h, dh, tile_batch, interpret):
+    fwd = _batch_partitioned(
+        _attention_infold_fwd_pallas, 3, 1,
+        h=h, dh=dh, tile_batch=tile_batch, interpret=interpret,
+    )
+    return fwd(q, k, v), (q, k, v)
+
+
+def _attention_infold_bwd_rule(h, dh, tile_batch, interpret, res, g):
+    q, k, v = res
+    bwd = _batch_partitioned(
+        _attention_infold_bwd_pallas, 4, 3,
+        h=h, dh=dh, tile_batch=tile_batch, interpret=interpret,
+    )
+    return bwd(q, k, v, g.astype(q.dtype))
+
+
+_attention_infold.defvjp(_attention_infold_fwd_rule, _attention_infold_bwd_rule)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "dh", "tile_batch", "interpret"))
 def _attention_packed_fwd_pallas(
     q: jax.Array,  # (B, L, D) — free reshape of flax's (B, L, H, Dh)
@@ -485,7 +701,26 @@ def tiny_head_attention(
         return jnp.transpose(out.reshape(b, h, dh, l), (0, 3, 1, 2))
 
     if dh < 32 and interpret is None:
+        # Tiny heads keep the folded kernels + XLA transposes: every
+        # in-kernel alternative measured WORSE on hardware (round-2 b_l
+        # layout study, PERFORMANCE.md): packed lane-masking +9%, in-VMEM
+        # fold (_attention_infold) 2.3x, per-head lane slices
+        # (_attention_lane_slice_fwd_pallas) 3.4x — Mosaic lane<->sublane
+        # relayouts inside the kernel cost far more than the ~8% the
+        # XLA-side HBM transposes cost around it. Both losers are kept as
+        # measured negative experiments.
         return tiny_head_attention_folded(query, key, value)
+
+    if dh < 32:
+        # forced-interpret (CPU mesh tests): exercise the packed-interface
+        # kernel path under sharding
+        out = _attention_infold(
+            query.reshape(b, l, d),
+            key.reshape(b, l, d),
+            value.reshape(b, l, d),
+            h, dh, tile_batch, bool(interpret),
+        )
+        return out.reshape(b, l, h, dh)
 
     out = _attention_packed(
         query.reshape(b, l, d),
