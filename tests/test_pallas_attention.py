@@ -209,3 +209,44 @@ def test_kernel_matches_xla_interpret_13x13():
     got = _attention_fwd_pallas(q, k, v, tile_heads=8, interpret=True)
     want = _attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_infold_kernels_match_xla_interpret():
+    """Round-2 layout-study kernels (kept as measured negatives on TPU, but
+    the infold path IS the interpret-mode route for dh<32 under sharding
+    tests — keep it correct): fwd + bwd vs the packed-layout reference."""
+    from rl_selfplay_mnk_tpu.ops.pallas_attention import (
+        _attention_infold_bwd_pallas,
+        _attention_infold_fwd_pallas,
+        _attention_lane_slice_fwd_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    for b, l, h, dh in [(4, 81, 8, 12), (2, 25, 4, 14)]:
+        d = h * dh
+        q, k, v, g = (
+            jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+            for _ in range(4)
+        )
+        want = _xla_mha_packed(q, k, v, h, dh)
+        got = _attention_infold_fwd_pallas(
+            q, k, v, h=h, dh=dh, tile_batch=2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+        got_lane = _attention_lane_slice_fwd_pallas(
+            q, k, v, h=h, dh=dh, tile_batch=2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_lane), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+        dq, dk, dv = _attention_infold_bwd_pallas(
+            q, k, v, g, h=h, dh=dh, tile_batch=2, interpret=True
+        )
+        _, vjp = jax.vjp(lambda *a: _xla_mha_packed(*a, h, dh), q, k, v)
+        for got_g, want_g in zip((dq, dk, dv), vjp(g)):
+            np.testing.assert_allclose(
+                np.asarray(got_g), np.asarray(want_g), rtol=2e-4, atol=2e-4
+            )
