@@ -738,6 +738,7 @@ class PPOLearner:
         opponent_params: Any,
         entropy_coef: float,
         precise_timing: bool = True,
+        fetch_watch: bool = True,
     ) -> TrainingMetrics:
         """One training iteration (reference ppo.py:78-166).
 
@@ -745,6 +746,12 @@ class PPOLearner:
         and update programs — both dispatch back-to-back and only the final
         result is awaited. rollout_time/learn_time then both report the
         combined pipeline time (fps stays correct as an aggregate rate).
+
+        ``fetch_watch=False`` drops this iteration's per-layer grad-norm
+        tree (watch mode) instead of fetching it — the host loop only
+        consumes it every ``watch_interval`` iterations, and on the
+        latency-bound tunnel backend shipping ~60 small arrays per
+        iteration just to discard them is pure overhead.
         """
         cfg = self.config
         if self._sp_state is None:
@@ -805,10 +812,13 @@ class PPOLearner:
             )
         # One batched host fetch resolves everything (and forces the whole
         # pipeline to completion — float conversions are device syncs).
+        if cfg.watch and not fetch_watch:
+            metrics = dict(metrics)
+            metrics.pop("layer_grad_norms")
         fin_dev, metrics_dev = jax.device_get((fin, metrics))
         fin_host = [float(x) for x in fin_dev]
         layer_grad_norms = None
-        if cfg.watch:
+        if cfg.watch and fetch_watch:
             layer_grad_norms = {
                 f"gradients/{name}/norm": float(v)
                 for name, v in tree_path_norms(

@@ -26,8 +26,11 @@ int64_t elo_sweep(const int64_t *p1, const int64_t *p2, const double *s1,
       const double ea = 1.0 / (1.0 + pow(10.0, (rb - ra) / 400.0));
       const double da = k * (s1[i] - ea);
       const double db = k * (s2[i] - (1.0 - ea));
+      /* Self-match rows (a == b): the reference applies BOTH updates
+       * sequentially to the same entry ((r + da) + db); a plain
+       * read-before-write pair would drop da. */
       ratings[a] = ra + da;
-      ratings[b] = rb + db;
+      ratings[b] = (a == b) ? (ra + da) + db : rb + db;
       total_change += fabs(da) + fabs(db);
     }
     if (total_change / denom < tol) {

@@ -155,21 +155,39 @@ def _sweep_to_convergence(
     waves = []
     for w in range(len(bounds) - 1):
         sel = order[bounds[w] : bounds[w + 1]]
-        waves.append((p1[sel], p2[sel], s1[sel], s2[sel]))
+        waves.append((sel, p1[sel], p2[sel], s1[sel], s2[sel]))
 
+    n = p1.shape[0]
     ratings = np.full(n_players, initial, dtype=np.float64)
-    denom = 2.0 * max(1, p1.shape[0])
+    denom = 2.0 * max(1, n)
+    contrib = np.zeros(n, dtype=np.float64)
     for _ in range(max_passes):
-        total_change = 0.0
-        for a, b, sa, sb in waves:
+        for sel, a, b, sa, sb in waves:
             ra = ratings[a]
             rb = ratings[b]
             expected_a = 1.0 / (1.0 + np.power(10.0, (rb - ra) / _ELO_SCALE))
             da = k * (sa - expected_a)
             db = k * (sb - (1.0 - expected_a))
-            ratings[a] = ra + da
-            ratings[b] = rb + db
-            total_change += float(np.abs(da).sum() + np.abs(db).sum())
+            new_a = ra + da
+            new_b = rb + db
+            self_rows = a == b
+            if self_rows.any():
+                # Reference semantics apply BOTH updates to a self-match's
+                # single entry ((r + da) + db); plain fancy-index assignment
+                # would let the second write drop da.
+                new_b = np.where(self_rows, new_a + db, new_b)
+            ratings[a] = new_a
+            ratings[b] = new_b
+            contrib[sel] = np.abs(da) + np.abs(db)
+        # Convergence must match the sequential sweep BIT-EXACTLY (the
+        # native kernel and the reference accumulate per match in original
+        # order with left-fold adds; numpy's pairwise sum would differ by
+        # ULPs and can flip a pass count at the tol boundary). A Python
+        # fold over the host list is ~ms at tournament scale and only runs
+        # when no C compiler is available.
+        total_change = 0.0
+        for t in contrib.tolist():
+            total_change += t
         if total_change / denom < tol:
             break
     return ratings

@@ -700,7 +700,10 @@ def tiny_head_attention(
         out = _attention_xla(fold(query), fold(key), fold(value))
         return jnp.transpose(out.reshape(b, h, dh, l), (0, 3, 1, 2))
 
-    if dh < 32 and interpret is None:
+    if dh < 32 and not interpret:
+        # interpret None (default) or an explicit interpret=False both mean
+        # "real kernels on hardware" here — only forced-interpret (True)
+        # may take the infold path below.
         # Tiny heads keep the folded kernels + XLA transposes: every
         # in-kernel alternative measured WORSE on hardware (round-2 b_l
         # layout study, PERFORMANCE.md): packed lane-masking +9%, in-VMEM

@@ -72,6 +72,15 @@ def put_global(x: Any, sharding: NamedSharding):
             return jax.device_put(x, sharding)
     if len(sharding.device_set) == 1:
         return jax.device_put(jax.numpy.asarray(x), sharding)
+    if jax.process_count() == 1 and isinstance(x, jax.Array):
+        # Single-process with an already-device-resident value: let the
+        # runtime reshard entirely on-device. The manual assembly below
+        # would force a device->host fetch (np.asarray) plus one put per
+        # device — hundreds of ~1-25 ms round trips on the tunnel backend
+        # (CLAUDE.md) for replicate(params)/shard_batched at startup. The
+        # pod-style shard assembly stays covered by host-value callers and
+        # the real 2-process tests (tests/test_multiprocess.py).
+        return jax.device_put(x, sharding)
     # Multi-device: assemble from per-device shards — the identical code
     # path single-process (virtual meshes, dryrun_multichip) and on a pod,
     # so every mesh test exercises the pod construction.

@@ -171,11 +171,10 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
 
 def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) -> None:
     """The training loop (reference train_mnk, src/train.py:86-166)."""
-    if logger is None:
-        logger = MetricsLogger(project="mnk", config=config)
-
     # Multi-host bring-up (TPU pods): one process per host, envs sharded
     # over the global device set. No-op single-process / already-initialized.
+    # Must run BEFORE any logger/exporter construction so non-coordinators
+    # never open run files or derive a timestamped (i.e. per-process) name.
     if config.get("multihost"):
         from .parallel.mesh import init_distributed
 
@@ -193,7 +192,25 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     from .parallel.mesh import is_coordinator
 
     coordinator = is_coordinator()
-    if not coordinator:
+    if logger is None:
+        if config.get("multihost") and not config.get("run_name"):
+            # A timestamp-derived default diverges across processes, which
+            # would split the (shared-name-keyed) checkpoint dir.
+            raise ValueError(
+                "multihost train_mnk needs config['run_name'] (all "
+                "processes must agree on checkpoint/export paths)"
+            )
+        if coordinator:
+            logger = MetricsLogger(
+                project="mnk", config=config, run_name=config.get("run_name")
+            )
+        else:
+            from .utils.metrics import NullMetricsLogger
+
+            logger = NullMetricsLogger(
+                run_name=config.get("run_name"), config=config
+            )
+    elif not coordinator:
         from .utils.metrics import NullMetricsLogger
 
         logger = NullMetricsLogger(run_name=logger.run_name, config=config)
@@ -263,7 +280,13 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     steps_per_iteration = config["num_envs"] * config["n_steps"]
     total_iterations = config["total_environment_steps"] // steps_per_iteration
 
-    ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
+    # Prefer the explicitly shared run_name for the checkpoint path: the
+    # coordinator's logger may carry a backend-assigned name (wandb) that
+    # non-coordinator processes never see, and orbax checkpoints are
+    # cooperative — every process must resolve the SAME directory.
+    ckpt_dir = config.get("checkpoint_dir") or (
+        f"checkpoints/{config.get('run_name') or logger.run_name}"
+    )
     ckpt_interval = config.get("checkpoint_interval", 0)
 
     # Host-side RNG for the opponent schedule, created before the
@@ -433,7 +456,12 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 config["num_envs"],
                 config["n_steps"],
             )
-            metrics = learner.learn(opponent_act, opponent_variables, ent_coef)
+            watch_interval = config.get("watch_interval", 0)
+            watch_now = bool(watch_interval) and i % watch_interval == 0
+            metrics = learner.learn(
+                opponent_act, opponent_variables, ent_coef,
+                fetch_watch=watch_now,
+            )
             current_env_steps = (i + 1) * steps_per_iteration
 
             # League matchmaking: fold the iteration outcome vs each drawn
@@ -450,14 +478,14 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 lr_schedule((i + 1) * learner.config.updates_per_iteration - 1)
             )
             log_training_metrics(
-                logger, metrics, i, current_env_steps, ent_coef, current_lr
+                logger, metrics, i, current_env_steps, ent_coef, current_lr,
+                echo=coordinator,
             )
 
             # run.watch parity (reference train.py:94): per-layer gradient
             # RMS norms came back with this iteration's metrics; parameter
             # norms (+ optional histograms) are one extra jitted program.
-            watch_interval = config.get("watch_interval", 0)
-            if watch_interval and i % watch_interval == 0:
+            if watch_now:
                 watch_rec = dict(metrics.layer_grad_norms or {})
                 watch_rec.update(
                     learner.param_stats(
@@ -521,7 +549,9 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 save_checkpoint(ckpt_dir, i, checkpoint_state(i))
 
         except Exception as e:  # reference :162-164: log and continue
-            handle_training_error(logger, e, i, current_env_steps)
+            handle_training_error(
+                logger, e, i, current_env_steps, echo=coordinator
+            )
             # A failure after dispatch may have consumed donated device
             # state; rebuild it so "continue" actually can (PPOLearner.recover).
             recovered = learner.recover()
@@ -545,23 +575,15 @@ def log_training_metrics(
     env_steps: int,
     entropy_coef: float,
     current_lr: float,
+    echo: bool = True,
 ) -> None:
-    """Stdout + tracker logging (reference train.py:169-210, same keys)."""
-    print(
-        f"Iter {iteration} | {env_steps:,} steps | "
-        f"reward: {metrics.mean_reward:.3f} | "
-        f"length: {metrics.mean_length:.1f} | "
-        f"entropy: {metrics.entropy_loss:.4f} | "
-        f"entropy_coef: {entropy_coef:.4f} | "
-        f"lr: {current_lr:.6f} | "
-        f"grad_norm: {metrics.grad_norm:.3f} | "
-        f"clip: {metrics.clip_fraction:.3f} | "
-        f"explained_var: {metrics.explained_variance:.3f} | "
-        f"approx_kl: {metrics.approx_kl:.4f} | "
-        f"fps: {metrics.fps:.1f} | "
-        f"rollout_time: {metrics.rollout_time:.3f}s | "
-        f"learn_time: {metrics.learn_time:.3f}s"
-    )
+    """Stdout + tracker logging (reference train.py:169-210, same keys).
+
+    ``echo=False`` suppresses the stdout line (multihost non-coordinator
+    processes — stdout belongs to the coordinator; the logger they pass is
+    already a NullMetricsLogger)."""
+    if echo:
+        _print_training_line(metrics, iteration, env_steps, entropy_coef, current_lr)
     logger.log(
         {
             "training/mean_reward": metrics.mean_reward,
@@ -581,12 +603,41 @@ def log_training_metrics(
     )
 
 
+def _print_training_line(
+    metrics: TrainingMetrics,
+    iteration: int,
+    env_steps: int,
+    entropy_coef: float,
+    current_lr: float,
+) -> None:
+    print(
+        f"Iter {iteration} | {env_steps:,} steps | "
+        f"reward: {metrics.mean_reward:.3f} | "
+        f"length: {metrics.mean_length:.1f} | "
+        f"entropy: {metrics.entropy_loss:.4f} | "
+        f"entropy_coef: {entropy_coef:.4f} | "
+        f"lr: {current_lr:.6f} | "
+        f"grad_norm: {metrics.grad_norm:.3f} | "
+        f"clip: {metrics.clip_fraction:.3f} | "
+        f"explained_var: {metrics.explained_variance:.3f} | "
+        f"approx_kl: {metrics.approx_kl:.4f} | "
+        f"fps: {metrics.fps:.1f} | "
+        f"rollout_time: {metrics.rollout_time:.3f}s | "
+        f"learn_time: {metrics.learn_time:.3f}s"
+    )
+
+
 def handle_training_error(
-    logger: MetricsLogger, error: Exception, iteration: int, env_steps: int
+    logger: MetricsLogger,
+    error: Exception,
+    iteration: int,
+    env_steps: int,
+    echo: bool = True,
 ) -> None:
     """Log the failure and move on (reference train.py:213-226)."""
-    print(f"Error in iteration {iteration}: {error}")
-    traceback.print_exc()
+    if echo:
+        print(f"Error in iteration {iteration}: {error}")
+        traceback.print_exc()
     logger.log(
         {
             "error/iteration": iteration,

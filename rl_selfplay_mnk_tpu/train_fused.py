@@ -69,9 +69,9 @@ def _block_end(start: int, validation_interval: int, total: int) -> int:
 def train_mnk_fused(
     config: Dict[str, Any], logger: Optional[MetricsLogger] = None
 ) -> None:
-    if logger is None:
-        logger = MetricsLogger(project="mnk", config=config)
-
+    # Distributed init BEFORE any logger/exporter construction (same
+    # process-0-only I/O contract as train.train_mnk: exports, metric
+    # streams and stdout belong to the coordinator; see train.py).
     if config.get("multihost"):
         from .parallel.mesh import init_distributed
 
@@ -80,6 +80,34 @@ def train_mnk_fused(
             num_processes=config.get("num_processes"),
             process_id=config.get("process_id"),
         )
+
+    from .parallel.mesh import is_coordinator
+
+    coordinator = is_coordinator()
+    if logger is None:
+        if config.get("multihost") and not config.get("run_name"):
+            raise ValueError(
+                "multihost train_mnk_fused needs config['run_name'] (all "
+                "processes must agree on checkpoint/export paths)"
+            )
+        if coordinator:
+            logger = MetricsLogger(
+                project="mnk", config=config, run_name=config.get("run_name")
+            )
+        else:
+            from .utils.metrics import NullMetricsLogger
+
+            logger = NullMetricsLogger(
+                run_name=config.get("run_name"), config=config
+            )
+    elif not coordinator:
+        from .utils.metrics import NullMetricsLogger
+
+        logger = NullMetricsLogger(run_name=logger.run_name, config=config)
+
+    def say(*args, **kwargs):
+        if coordinator:
+            print(*args, **kwargs)
 
     # watch-mode per-layer grad trees don't stack across the fused
     # iteration scan; the host-loop driver is the watch surface.
@@ -94,7 +122,12 @@ def train_mnk_fused(
         mesh = make_mesh()
         assert config["num_envs"] % hw.num_devices == 0
 
-    exporter = ModelExporter(logger.run_name)
+    if coordinator:
+        exporter = ModelExporter(logger.run_name)
+    else:
+        from .utils.model_export import NullModelExporter
+
+        exporter = NullModelExporter(logger.run_name)
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
@@ -144,7 +177,13 @@ def train_mnk_fused(
     total_iterations = config["total_environment_steps"] // steps_per_iteration
     vint = config["validation_interval"]
 
-    ckpt_dir = config.get("checkpoint_dir") or f"checkpoints/{logger.run_name}"
+    # Prefer the explicitly shared run_name for the checkpoint path: the
+    # coordinator's logger may carry a backend-assigned name (wandb) that
+    # non-coordinator processes never see, and orbax checkpoints are
+    # cooperative — every process must resolve the SAME directory.
+    ckpt_dir = config.get("checkpoint_dir") or (
+        f"checkpoints/{config.get('run_name') or logger.run_name}"
+    )
     ckpt_interval = config.get("checkpoint_interval", 0)
 
     def checkpoint_state(iteration: int) -> dict:
@@ -170,7 +209,7 @@ def train_mnk_fused(
             pool = DevicePool(**state["pool"])
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
-            print(f"Resumed from checkpoint at iteration {start_iteration}")
+            say(f"Resumed from checkpoint at iteration {start_iteration}")
 
     # Dispatch strategy for a block of iterations (same math either way —
     # pinned bit-identical by tests/test_fused.py):
@@ -190,7 +229,7 @@ def train_mnk_fused(
             if config["num_envs"] * config["n_steps"] >= 1_000_000
             else "scan"
         )
-    print(
+    say(
         f"Starting fused training for {total_iterations} iterations "
         f"(validation every {vint}, dispatch={dispatch})"
     )
@@ -318,11 +357,12 @@ def train_mnk_fused(
                     env_steps,
                     float(stacked_host["entropy_coef"][j]),
                     current_lr,
+                    echo=coordinator,
                 )
             learner.iteration = end + 1
 
             if end > 0 and end % vint == 0:
-                print(
+                say(
                     f"--- Running validation at step {end} "
                     f"({current_env_steps:,} env steps) ---"
                 )
@@ -342,7 +382,7 @@ def train_mnk_fused(
                     "validation/vs_benchmark/score_rate"
                 ]
                 last_score_rate = max(score_rate, 1e-3)
-                print(
+                say(
                     f"Score: {score_rate:.2f} | "
                     f"W: {validation_res['validation/vs_benchmark/win_rate']:.2f} | "
                     f"D: {validation_res['validation/vs_benchmark/draw_rate']:.2f} | "
@@ -350,7 +390,7 @@ def train_mnk_fused(
                 )
                 breaker = score_rate > config["benchmark_update_threshold_score"]
                 if breaker:
-                    print(f"--- New benchmark agent at step {end}! ---")
+                    say(f"--- New benchmark agent at step {end}! ---")
                     benchmark_variables = fold_jit(learner.variables)
                     logger.log(
                         {"validation/new_benchmark_step": 1},
@@ -369,7 +409,9 @@ def train_mnk_fused(
                 last_ckpt = end
 
         except Exception as e:  # reference :162-164 at block granularity
-            handle_training_error(logger, e, i, current_env_steps)
+            handle_training_error(
+                logger, e, i, current_env_steps, echo=coordinator
+            )
             # train_block donates opt_state, the pool and env state (params/
             # batch_stats deliberately are not donated — they are the one
             # thing recovery could not rebuild); restore whatever a
@@ -387,7 +429,7 @@ def train_mnk_fused(
                 pool = jax.jit(pool_add)(pool, learner.variables, 1.0)
                 recovered.append("pool")
             if recovered:
-                print(f"Recovered learner state: {', '.join(recovered)}")
+                say(f"Recovered learner state: {', '.join(recovered)}")
         i = end + 1
 
     exporter.export_model(

@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--checkpoint-interval", type=int, default=0)
     ap.add_argument("--run-name", required=True)
     ap.add_argument("--workdir", required=True)
+    ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
     os.chdir(args.workdir)
 
@@ -68,7 +69,12 @@ def main() -> None:
     else:
         logger = NullMetricsLogger(run_name=args.run_name, config=config)
     with logger:
-        train_mnk(config, logger)
+        if args.fused:
+            from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+
+            train_mnk_fused(config, logger)
+        else:
+            train_mnk(config, logger)
     print(f"runner process {args.process_id} done", flush=True)
 
 

@@ -34,12 +34,6 @@ from rl_selfplay_mnk_tpu.parallel import make_mesh, replicate, shard_batched
 from rl_selfplay_mnk_tpu.selfplay import RandomPolicy
 from rl_selfplay_mnk_tpu.selfplay.wrapper import selfplay_reset
 
-_COLLECTIVE = re.compile(
-    r"%(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
-    r"[.\d]* = (\([^)]*\)|\S+) \1"
-)
-
-
 class _MLP(nn.Module):
     action_dim: int
 

@@ -162,6 +162,21 @@ def test_elo_golden_fixture():
         assert got[pid] == round(r, 2)
 
 
+def test_elo_self_match_rows_match_oracle(elo_path):
+    """p1 == p2 rows apply BOTH rating updates to the one entry (the
+    reference's dict `+=` semantics); read-before-write sweeps must not
+    drop the first update. Scores are made asymmetric so da + db != 0."""
+    df = _random_match_df(60, 8, seed=5)
+    self_rows = df.sample(n=6, random_state=7).index
+    for col in ("player2_unique_id", "player2_run_name", "player2_iteration"):
+        df.loc[self_rows, col] = df.loc[self_rows, col.replace("2", "1")].values
+    df.loc[self_rows, "player2_score"] = 0.9  # asymmetric: da+db != 0
+    got = ELOTracker().calculate_ratings(df).set_index("unique_id")["rating"]
+    want = _sequential_oracle(df)
+    for pid, r in want.items():
+        assert got[pid] == round(r, 2)
+
+
 def test_elo_wavefront_speed():
     """10k matches must rate in well under a second (VERDICT.md item 2)."""
     import time

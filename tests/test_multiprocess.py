@@ -39,7 +39,7 @@ def _free_port() -> int:
 
 
 def _launch(workdir, run_name, num_processes, devices_per_proc, iters,
-            checkpoint_interval=0, resume=False, timeout=600):
+            checkpoint_interval=0, resume=False, timeout=600, fused=False):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -63,6 +63,8 @@ def _launch(workdir, run_name, num_processes, devices_per_proc, iters,
         ]
         if resume:
             cmd.append("--resume")
+        if fused:
+            cmd.append("--fused")
         procs.append(
             subprocess.Popen(
                 cmd, env=env, cwd=str(workdir),
@@ -98,8 +100,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     iters = 4
     _launch(tmp_path, "single", num_processes=1, devices_per_proc=4,
             iters=iters)
-    _launch(tmp_path, "double", num_processes=2, devices_per_proc=2,
-            iters=iters)
+    outs = _launch(tmp_path, "double", num_processes=2, devices_per_proc=2,
+                   iters=iters)
 
     # process-0-only I/O: one metric stream, one export tree, and the
     # non-coordinator process wrote nothing anywhere
@@ -107,6 +109,12 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert sorted(runs) == ["double.jsonl", "single.jsonl"]
     exports = os.listdir(tmp_path / "models" / "double")
     assert f"model_{iters:05d}.msgpack" in exports
+
+    # stdout belongs to the coordinator: the non-coordinator must not echo
+    # per-iteration training lines or validation banners
+    assert "Iter " in outs[0]
+    assert "Iter " not in outs[1]
+    assert "Running validation" not in outs[1]
 
     # training telemetry: env dynamics are integer-valued and must agree
     # exactly; learned scalars agree to collective-numerics tolerance
@@ -137,6 +145,26 @@ def test_two_process_training_matches_single_process(tmp_path):
             a, b, rtol=2e-4, atol=2e-5,
             err_msg=f"leaf {k1} diverged between 1-proc and 2-proc runs",
         )
+
+
+@pytest.mark.slow
+def test_two_process_fused_driver_process0_io(tmp_path):
+    """The fused driver honors the same process-0-only I/O contract as the
+    host loop: one metric stream, one export tree, coordinator-only stdout
+    (train_fused.py coordinator gating)."""
+    iters = 4
+    outs = _launch(tmp_path, "fused2", num_processes=2, devices_per_proc=2,
+                   iters=iters, fused=True)
+    assert sorted(os.listdir(tmp_path / "runs")) == ["fused2.jsonl"]
+    exports = os.listdir(tmp_path / "models" / "fused2")
+    assert f"model_{iters:05d}.msgpack" in exports
+    assert all(not f.endswith(".tmp") for f in exports)
+    m = [r for r in _metric_lines(tmp_path, "fused2")
+         if "training/mean_reward" in r]
+    assert len(m) == iters
+    assert "Iter " in outs[0]
+    assert "Iter " not in outs[1]
+    assert "Running validation" not in outs[1]
 
 
 @pytest.mark.slow
