@@ -179,12 +179,16 @@ def _sweep_to_convergence(
             ratings[a] = new_a
             ratings[b] = new_b
             contrib[sel] = np.abs(da) + np.abs(db)
-        # Convergence must match the sequential sweep BIT-EXACTLY (the
-        # native kernel and the reference accumulate per match in original
-        # order with left-fold adds; numpy's pairwise sum would differ by
-        # ULPs and can flip a pass count at the tol boundary). A Python
-        # fold over the host list is ~ms at tournament scale and only runs
-        # when no C compiler is available.
+        # Convergence accumulation matches the sequential sweep exactly
+        # GIVEN identical per-match deltas: original match order with
+        # left-fold adds (numpy's pairwise sum would differ by ULPs and
+        # can flip a pass count at the tol boundary). The deltas themselves
+        # depend on np.power vs libm pow, which are not guaranteed
+        # bit-identical across platforms/SIMD dispatch — so cross-BACKEND
+        # exactness at the tol boundary is best-effort, not a contract
+        # (the backends agree bit-for-bit on every platform we test). A
+        # Python fold over the host list is ~ms at tournament scale and
+        # only runs when no C compiler is available.
         total_change = 0.0
         for t in contrib.tolist():
             total_change += t

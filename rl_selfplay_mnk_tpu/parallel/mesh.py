@@ -31,6 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
+def _force_assembly() -> bool:
+    """Test escape hatch: force the pod-style per-device shard assembly in
+    ``put_global`` even for device-resident single-process values (keeps the
+    multi-process construction exercised on cheap virtual meshes)."""
+    return os.environ.get("MNK_FORCE_SHARD_ASSEMBLY", "") == "1"
+
+
 def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """1-D data mesh over the first ``num_devices`` (default: all)."""
     if devices is None:
@@ -72,18 +79,22 @@ def put_global(x: Any, sharding: NamedSharding):
             return jax.device_put(x, sharding)
     if len(sharding.device_set) == 1:
         return jax.device_put(jax.numpy.asarray(x), sharding)
-    if jax.process_count() == 1 and isinstance(x, jax.Array):
+    if (
+        jax.process_count() == 1
+        and isinstance(x, jax.Array)
+        and not _force_assembly()
+    ):
         # Single-process with an already-device-resident value: let the
         # runtime reshard entirely on-device. The manual assembly below
         # would force a device->host fetch (np.asarray) plus one put per
         # device — hundreds of ~1-25 ms round trips on the tunnel backend
-        # (CLAUDE.md) for replicate(params)/shard_batched at startup. The
-        # pod-style shard assembly stays covered by host-value callers and
-        # the real 2-process tests (tests/test_multiprocess.py).
+        # (CLAUDE.md) for replicate(params)/shard_batched at startup.
         return jax.device_put(x, sharding)
-    # Multi-device: assemble from per-device shards — the identical code
-    # path single-process (virtual meshes, dryrun_multichip) and on a pod,
-    # so every mesh test exercises the pod construction.
+    # Assemble from per-device shards — the pod construction path. With the
+    # fast path above, device-resident values single-process skip this, so
+    # its coverage is host-value callers, the real 2-process tests
+    # (tests/test_multiprocess.py), and the MNK_FORCE_SHARD_ASSEMBLY=1
+    # escape hatch (test_distributed.py exercises it on the virtual mesh).
     x = np.asarray(x)
     idx_map = sharding.devices_indices_map(x.shape)
     local = [

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import random as _random
+import sys as _sys
 import traceback
 from typing import Any, Dict, Optional
 
@@ -192,14 +193,17 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     from .parallel.mesh import is_coordinator
 
     coordinator = is_coordinator()
+    if config.get("multihost") and not config.get("run_name"):
+        # A timestamp-derived default diverges across processes, which
+        # would split the (shared-name-keyed) checkpoint dir. This holds
+        # whether the logger is built here or passed in: per-process logger
+        # objects default to timestamped names too, and orbax checkpoints
+        # are cooperative — every process must resolve the SAME directory.
+        raise ValueError(
+            "multihost train_mnk needs config['run_name'] (all "
+            "processes must agree on checkpoint/export paths)"
+        )
     if logger is None:
-        if config.get("multihost") and not config.get("run_name"):
-            # A timestamp-derived default diverges across processes, which
-            # would split the (shared-name-keyed) checkpoint dir.
-            raise ValueError(
-                "multihost train_mnk needs config['run_name'] (all "
-                "processes must agree on checkpoint/export paths)"
-            )
         if coordinator:
             logger = MetricsLogger(
                 project="mnk", config=config, run_name=config.get("run_name")
@@ -634,10 +638,22 @@ def handle_training_error(
     env_steps: int,
     echo: bool = True,
 ) -> None:
-    """Log the failure and move on (reference train.py:213-226)."""
+    """Log the failure and move on (reference train.py:213-226).
+
+    ``echo=False`` only moves the report to stderr with a process prefix —
+    a non-coordinator failure must never be invisible (its logger is a
+    NullMetricsLogger, and a per-process divergence that silently
+    "recovers" would desync subsequent collectives with no trace)."""
     if echo:
         print(f"Error in iteration {iteration}: {error}")
         traceback.print_exc()
+    else:
+        print(
+            f"[process {jax.process_index()}] Error in iteration "
+            f"{iteration}: {error}\n{traceback.format_exc()}",
+            file=_sys.stderr,
+            flush=True,
+        )
     logger.log(
         {
             "error/iteration": iteration,

@@ -84,12 +84,15 @@ def train_mnk_fused(
     from .parallel.mesh import is_coordinator
 
     coordinator = is_coordinator()
+    if config.get("multihost") and not config.get("run_name"):
+        # Required whether or not a logger was passed: per-process logger
+        # objects default to timestamped (divergent) run names, and the
+        # checkpoint dir below is keyed by the shared name.
+        raise ValueError(
+            "multihost train_mnk_fused needs config['run_name'] (all "
+            "processes must agree on checkpoint/export paths)"
+        )
     if logger is None:
-        if config.get("multihost") and not config.get("run_name"):
-            raise ValueError(
-                "multihost train_mnk_fused needs config['run_name'] (all "
-                "processes must agree on checkpoint/export paths)"
-            )
         if coordinator:
             logger = MetricsLogger(
                 project="mnk", config=config, run_name=config.get("run_name")

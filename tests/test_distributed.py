@@ -201,3 +201,45 @@ def test_full_train_step_on_mesh_shard_local_shuffles(shuffle):
     rp = RandomPolicy()
     m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
     assert np.isfinite(m.actor_loss)
+
+
+def test_put_global_forced_assembly_matches_fast_path(monkeypatch):
+    """MNK_FORCE_SHARD_ASSEMBLY=1 routes device-resident single-process
+    values through the pod-style per-device shard assembly; the result must
+    be indistinguishable from the on-device fast path (ADVICE.md round-2
+    finding 3: keep the pod construction exercised on cheap virtual meshes)."""
+    from rl_selfplay_mnk_tpu.parallel.mesh import env_sharding, put_global
+
+    mesh = make_mesh(num_devices=8)
+    value = jnp.arange(16 * 3, dtype=jnp.float32).reshape(16, 3)
+
+    fast = put_global(value, env_sharding(mesh))
+    monkeypatch.setenv("MNK_FORCE_SHARD_ASSEMBLY", "1")
+    assembled = put_global(value, env_sharding(mesh))
+
+    assert assembled.sharding == fast.sharding
+    np.testing.assert_array_equal(np.asarray(assembled), np.asarray(fast))
+    # replicated layout too (params/pool entries take this path)
+    rep_fast = jax.device_get(replicate(value, mesh))
+    monkeypatch.delenv("MNK_FORCE_SHARD_ASSEMBLY")
+    np.testing.assert_array_equal(rep_fast, np.asarray(value))
+
+
+@pytest.mark.parametrize("driver", ["host", "fused"])
+def test_multihost_requires_run_name_even_with_logger(driver, tmp_path, monkeypatch):
+    """The multihost run_name guard fires whether or not a caller passes a
+    logger: per-process logger objects default to timestamped (divergent)
+    names, and the checkpoint dir is keyed by the shared name (ADVICE.md
+    round-2 finding 1)."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config["multihost"] = True
+    config["num_processes"] = 1  # init_distributed no-ops; guard still applies
+    train = train_mnk if driver == "host" else train_mnk_fused
+    with MetricsLogger(project="t", run_name="per_process_name") as logger:
+        with pytest.raises(ValueError, match="run_name"):
+            train(config, logger)
