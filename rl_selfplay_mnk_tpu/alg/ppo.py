@@ -97,9 +97,18 @@ class PPOConfig:
     # when True the update additionally accumulates PER-LAYER squared
     # gradient norms on-device (a handful of tiny fused reductions per
     # minibatch) and reports sqrt(mean-over-updates) per layer in
-    # TrainingMetrics.layer_grad_norms. Cadence/histograms are the host
-    # loop's concern (train.py watch_interval).
+    # TrainingMetrics.layer_grad_norms. Cadence is the host loop's concern
+    # (train.py watch_interval).
     watch: bool = False
+    # Gradient histograms — the other half of ``run.watch`` (wandb logs
+    # gradient histograms, reference train.py:94). When watch=True and
+    # this is > 0, the update also accumulates a fixed-bin signed-log
+    # histogram of every layer's gradient values on-device: bins_per_sign
+    # magnitude bins per sign spanning |g| in [1e-10, 1e2) plus a near-zero
+    # bin (2*B+1 bins total, static edges — accumulation across the
+    # minibatch scan requires data-independent bin edges, unlike the
+    # one-shot parameter histograms which can use jnp.histogram).
+    watch_hist_bins: int = 0
 
     @property
     def total_batch(self) -> int:
@@ -325,7 +334,50 @@ def zero_metric_sums(config: "PPOConfig" = None, params: Any = None) -> dict:
         sums["layer_grad_sq"] = jax.tree.map(
             lambda p: jnp.zeros((), jnp.float32), params
         )
+        if config.watch_hist_bins:
+            nb = 2 * config.watch_hist_bins + 1
+            sums["layer_grad_hist"] = jax.tree.map(
+                lambda p: jnp.zeros((nb,), jnp.float32), params
+            )
     return sums
+
+
+# Signed-log gradient-histogram bin layout (PPOConfig.watch_hist_bins):
+# |g| decade range covered by the magnitude bins; values below 10^LO land
+# in the central near-zero bin, values above 10^HI clamp into the outermost
+# magnitude bin.
+_GRAD_HIST_LO = -10.0
+_GRAD_HIST_HI = 2.0
+
+
+def grad_hist_edges(bins_per_sign: int) -> list:
+    """Static bin edges (value space) for the signed-log gradient
+    histograms: [-10^HI ... -10^LO, 10^LO ... 10^HI], 2*B+2 edges."""
+    step = (_GRAD_HIST_HI - _GRAD_HIST_LO) / bins_per_sign
+    mags = [10.0 ** (_GRAD_HIST_LO + i * step) for i in range(bins_per_sign + 1)]
+    return [-m for m in reversed(mags)] + mags
+
+
+def _grad_hist_counts(g: jax.Array, bins_per_sign: int) -> jax.Array:
+    """Bin one gradient leaf into the static signed-log layout. One
+    compare-and-reduce per bin (TPU-friendly; no scatter)."""
+    x = g.astype(jnp.float32).ravel()
+    span = _GRAD_HIST_HI - _GRAD_HIST_LO
+    mag = jnp.log10(jnp.maximum(jnp.abs(x), jnp.float32(1e-30)))
+    k = jnp.clip(
+        jnp.floor((mag - _GRAD_HIST_LO) / span * bins_per_sign),
+        0,
+        bins_per_sign - 1,
+    ).astype(jnp.int32)
+    near_zero = mag < _GRAD_HIST_LO
+    idx = jnp.where(
+        near_zero,
+        bins_per_sign,
+        jnp.where(x < 0.0, bins_per_sign - 1 - k, bins_per_sign + 1 + k),
+    )
+    nb = 2 * bins_per_sign + 1
+    onehot = idx[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+    return jnp.sum(onehot, axis=0, dtype=jnp.float32)
 
 
 def tree_path_norms(tree: Any) -> dict:
@@ -526,6 +578,14 @@ def _update_epochs_impl(
                 sums["layer_grad_sq"],
                 grads,
             )
+            if config.watch_hist_bins:
+                new_sums["layer_grad_hist"] = jax.tree.map(
+                    lambda h, g: h + _grad_hist_counts(
+                        g, config.watch_hist_bins
+                    ),
+                    sums["layer_grad_hist"],
+                    grads,
+                )
         return (params, batch_stats, opt_state, new_sums), None
 
     def epoch_body(carry, k_epoch):
@@ -577,6 +637,10 @@ def finalize_metric_sums(config: PPOConfig, sums: dict) -> dict:
         metrics["layer_grad_norms"] = jax.tree.map(
             lambda s: jnp.sqrt(s / n_updates), sums["layer_grad_sq"]
         )
+        if config.watch_hist_bins:
+            # raw counts over every update this iteration (not averaged —
+            # a histogram's natural accumulation is summation)
+            metrics["layer_grad_hists"] = sums["layer_grad_hist"]
     return metrics
 
 
@@ -815,6 +879,7 @@ class PPOLearner:
         if cfg.watch and not fetch_watch:
             metrics = dict(metrics)
             metrics.pop("layer_grad_norms")
+            metrics.pop("layer_grad_hists", None)
         fin_dev, metrics_dev = jax.device_get((fin, metrics))
         fin_host = [float(x) for x in fin_dev]
         layer_grad_norms = None
@@ -825,6 +890,16 @@ class PPOLearner:
                     metrics_dev.pop("layer_grad_norms")
                 ).items()
             }
+            if cfg.watch_hist_bins:
+                edges = grad_hist_edges(cfg.watch_hist_bins)
+                for name, counts in tree_path_norms(
+                    metrics_dev.pop("layer_grad_hists")
+                ).items():
+                    layer_grad_norms[f"gradients/{name}/hist"] = {
+                        "_type": "histogram",
+                        "counts": [int(c) for c in counts],
+                        "edges": edges,
+                    }
         metrics_host = {k: float(v) for k, v in metrics_dev.items()}
         if precise_timing:
             learn_time = time.perf_counter() - t1

@@ -103,6 +103,11 @@ def get_default_config() -> Dict[str, Any]:
         # log_freq=1000 backward passes at 48 updates/iteration. 0 = off.
         "watch_interval": 20,
         "watch_histograms": False,  # also log 16-bin parameter histograms
+        # run.watch logs gradient HISTOGRAMS (reference train.py:94): B
+        # signed-log magnitude bins per sign + a near-zero bin, accumulated
+        # on-device across every update and fetched at watch cadence.
+        # 0 disables (grad RMS norms still log).
+        "watch_grad_hist_bins": 6,
     }
 
 
@@ -148,6 +153,7 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         group_size=pick_group_size(config["batch_size"] // num_devices),
         update_chunks=config.get("update_chunks", 1),
         watch=config.get("watch_interval", 0) > 0,
+        watch_hist_bins=config.get("watch_grad_hist_bins", 0),
     )
     lr_schedule = make_lr_schedule(
         base_lr=config["learning_rate"],

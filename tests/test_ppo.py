@@ -326,3 +326,70 @@ def test_recover_restores_state_after_buffer_invalidation():
     # the loop can continue: next learn() resets envs lazily and runs
     m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
     assert np.isfinite(m.actor_loss)
+
+
+def test_grad_hist_counts_bin_correctness():
+    """The signed-log gradient binning matches a numpy oracle: every value
+    lands in exactly one bin, signs separate, magnitudes order correctly,
+    and out-of-range magnitudes clamp (tiny -> near-zero bin, huge -> the
+    outermost bin of its sign)."""
+    import numpy as onp
+    from rl_selfplay_mnk_tpu.alg.ppo import (
+        _grad_hist_counts,
+        grad_hist_edges,
+    )
+
+    bins = 6
+    vals = onp.array(
+        [0.0, 1e-30, -1e-30,        # near-zero bin
+         1e-9, -1e-9,               # first magnitude bin each side
+         0.5, -0.5,                 # mid-range
+         1e6, -1e6],                # clamp into outermost bins
+        dtype=onp.float32,
+    )
+    counts = onp.asarray(_grad_hist_counts(jnp.asarray(vals), bins))
+    assert counts.sum() == len(vals)
+    edges = grad_hist_edges(bins)
+    assert len(counts) == 2 * bins + 1 and len(edges) == 2 * bins + 2
+    # near-zero bin is the central one
+    assert counts[bins] == 3
+    # numpy oracle for the in-range values via the published edges
+    oracle = onp.zeros(2 * bins + 1)
+    for v in vals:
+        if abs(v) < edges[bins + 1]:          # |v| < 10^LO
+            oracle[bins] += 1
+        else:
+            i = onp.searchsorted(edges, v, side="right") - 1
+            oracle[min(max(i, 0), 2 * bins)] += 1
+    onp.testing.assert_array_equal(counts, oracle)
+    # edges are monotonically increasing and symmetric
+    assert all(a < b for a, b in zip(edges, edges[1:]))
+    onp.testing.assert_allclose(edges, [-e for e in reversed(edges)])
+
+
+def test_watch_hist_accumulates_across_chunked_dispatch():
+    """Gradient histograms are part of the metric-sum carry: chunked and
+    monolithic dispatch accumulate identical counts."""
+    learner_a, module, optimizer = _make_learner(
+        num_envs=16, n_steps=8, batch_size=32, watch=True, watch_hist_bins=4
+    )
+    learner_b, _, _ = _make_learner(
+        num_envs=16, n_steps=8, batch_size=32, watch=True, watch_hist_bins=4,
+        update_chunks=2,
+    )
+    rp = RandomPolicy()
+    ma = learner_a.learn(rp.apply, rp.params, entropy_coef=0.01)
+    mb = learner_b.learn(rp.apply, rp.params, entropy_coef=0.01)
+    hists_a = {
+        k: v for k, v in ma.layer_grad_norms.items() if k.endswith("/hist")
+    }
+    hists_b = {
+        k: v for k, v in mb.layer_grad_norms.items() if k.endswith("/hist")
+    }
+    assert hists_a and set(hists_a) == set(hists_b)
+    n_updates = learner_a.config.updates_per_iteration
+    for k in hists_a:
+        assert hists_a[k]["counts"] == hists_b[k]["counts"], k
+        assert hists_a[k]["edges"] == hists_b[k]["edges"]
+        # total count = n_elements(leaf) * updates_per_iteration
+        assert sum(hists_a[k]["counts"]) % n_updates == 0

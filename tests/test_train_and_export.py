@@ -270,6 +270,17 @@ def test_train_mnk_micro_end_to_end(tmp_path, monkeypatch):
     ]
     assert hists and len(hists[0]["counts"]) == 16
     assert len(hists[0]["edges"]) == 17
+    # gradient HISTOGRAMS too (run.watch logs both — reference train.py:94):
+    # default 6 bins/sign -> 13 fixed signed-log bins, counts summed over
+    # every update of the iteration (updates_per_iteration * leaf size)
+    grad_hists = [
+        rec[k] for rec in lines for k in rec
+        if k.startswith("gradients/") and k.endswith("/hist")
+    ]
+    assert grad_hists and len(grad_hists[0]["counts"]) == 13
+    assert len(grad_hists[0]["edges"]) == 14
+    assert all(c >= 0 for c in grad_hists[0]["counts"])
+    assert sum(grad_hists[0]["counts"]) > 0
     watch_vals = [
         v for rec in lines for k, v in rec.items()
         if k.startswith(("gradients/", "parameters/")) and k.endswith("/norm")
