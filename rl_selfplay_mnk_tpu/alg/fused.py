@@ -21,12 +21,14 @@ Validation, benchmark promotion, export and checkpointing stay host-side
 at block boundaries; ``train_fused.train_mnk_fused`` sizes blocks so the
 boundaries land exactly on the reference's validation cadence.
 
-Execution-length caveat: a block is ONE XLA execution of ``block_len``
-whole iterations, so it cannot honor ``PPOConfig.update_chunks`` (the
-driver rejects that combination) and is inappropriate where a single
-execution has a wall-clock deadline (the axon dev tunnel kills ~90 s
-executions — CLAUDE.md): size blocks accordingly or use the host-loop
-driver for big models.
+Execution-length caveat: a SCANNED block is ONE XLA execution of
+``block_len`` whole iterations, so it cannot honor
+``PPOConfig.update_chunks`` and is inappropriate where a single execution
+has a wall-clock deadline (the axon dev tunnel kills ~90 s executions —
+CLAUDE.md). The "step" dispatch mode below has no such limit: it
+dispatches standalone programs per iteration and honors update_chunks
+(the driver auto-selects it when chunking is requested), so big models
+run fused too.
 """
 
 from __future__ import annotations
@@ -245,8 +247,14 @@ def train_step_iteration(
     caller fetches once per block). ``it`` is a HOST int: the pool-insert
     cadence check happens host-side, so 19 of 20 iterations skip the insert
     program entirely (the masked on-device insert with do_insert=False is
-    an identity, so this is bit-equivalent)."""
-    from .ppo import rollout, update
+    an identity, so this is bit-equivalent).
+
+    Honors ``PPOConfig.update_chunks``: the update phase dispatches through
+    the shared ``update_chunked`` (prepare + epoch-chunk programs, math
+    bit-identical to the monolithic ``update``) — this is what lets the
+    5-layer transformers, whose monolithic update exceeds RPC execution
+    deadlines, run fused at all (round-2 VERDICT item 3)."""
+    from .ppo import rollout, update, update_chunked
 
     (
         params, batch_stats, opt_state, pool, sp_state, obs,
@@ -260,10 +268,16 @@ def train_step_iteration(
         module, config, opponent_apply, params, batch_stats, opponent,
         sp_state, obs, ep_rew, ep_len, k_roll,
     )
-    params, batch_stats, opt_state, metrics = update(
-        module, config, optimizer, params, batch_stats, opt_state,
-        traj, obs, ent_coef, k_upd,
-    )
+    if config.update_chunks > 1:
+        params, batch_stats, opt_state, metrics = update_chunked(
+            module, config, optimizer, params, batch_stats, opt_state,
+            traj, obs, ent_coef, k_upd,
+        )
+    else:
+        params, batch_stats, opt_state, metrics = update(
+            module, config, optimizer, params, batch_stats, opt_state,
+            traj, obs, ent_coef, k_upd,
+        )
     if it % insert_interval == 0:
         pool = _pool_insert(
             pool, {"params": params, "batch_stats": batch_stats},

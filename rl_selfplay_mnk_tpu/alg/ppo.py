@@ -669,6 +669,52 @@ update_epochs = jax.jit(
 )
 
 
+def update_chunked(
+    module,
+    config: PPOConfig,
+    optimizer,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    traj: dict,
+    final_obs: dict,
+    entropy_coef,
+    rng: jax.Array,
+):
+    """Same math as the monolithic ``update`` dispatched as
+    1 + update_chunks programs (prepare, then epoch chunks), so no single
+    execution outlives an RPC deadline (PPOConfig.update_chunks).
+    Bit-identical: epoch i's permutation key is epoch_keys[i] under either
+    dispatch (pinned by test_chunked_update_matches_monolithic_bitwise and
+    the fused step-dispatch equivalence tests). Shared by PPOLearner and
+    the fused step dispatch (alg/fused.train_step_iteration)."""
+    batch_stats, flats = update_prepare(
+        module, config, params, batch_stats, traj, final_obs
+    )
+    epoch_keys = jax.random.split(rng, config.ppo_epochs)
+    n_chunks = min(config.update_chunks, config.ppo_epochs)
+    base, rem = divmod(config.ppo_epochs, n_chunks)
+    sums = zero_metric_sums(config, params)
+    ec = jnp.asarray(entropy_coef, jnp.float32)
+    start = 0
+    for i in range(n_chunks):
+        size = base + (1 if i < rem else 0)
+        params, batch_stats, opt_state, sums = update_epochs(
+            module,
+            config,
+            optimizer,
+            params,
+            batch_stats,
+            opt_state,
+            flats,
+            ec,
+            epoch_keys[start : start + size],
+            sums,
+        )
+        start += size
+    return params, batch_stats, opt_state, finalize_metric_sums(config, sums)
+
+
 @functools.partial(jax.jit, static_argnames=("bins",))
 def _param_stats_jit(params: Any, bins: int = 0):
     """Per-leaf L2 norms and optional fixed-bin histograms, one program
@@ -949,39 +995,23 @@ class PPOLearner:
         return out
 
     def _update_chunked(self, traj, entropy_coef: float, k_upd: jax.Array):
-        """Same math as the monolithic ``update`` but dispatched as
-        1 + update_chunks programs (prepare, then epoch chunks), so no
-        single execution outlives an RPC deadline (PPOConfig.update_chunks).
-        Bit-identical: epoch i's permutation key is epoch_keys[i] under
-        either dispatch."""
-        cfg = self.config
-        self.batch_stats, flats = update_prepare(
-            self.module, cfg, self.params, self.batch_stats, traj, self._obs
+        """Host-facade wrapper over the shared ``update_chunked`` dispatch
+        (1 + update_chunks programs, bit-identical to ``update``)."""
+        (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            metrics,
+        ) = update_chunked(
+            self.module,
+            self.config,
+            self.optimizer,
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            traj,
+            self._obs,
+            entropy_coef,
+            k_upd,
         )
-        epoch_keys = jax.random.split(k_upd, cfg.ppo_epochs)
-        n_chunks = min(cfg.update_chunks, cfg.ppo_epochs)
-        base, rem = divmod(cfg.ppo_epochs, n_chunks)
-        sums = zero_metric_sums(cfg, self.params)
-        ec = jnp.float32(entropy_coef)
-        start = 0
-        for i in range(n_chunks):
-            size = base + (1 if i < rem else 0)
-            (
-                self.params,
-                self.batch_stats,
-                self.opt_state,
-                sums,
-            ) = update_epochs(
-                self.module,
-                cfg,
-                self.optimizer,
-                self.params,
-                self.batch_stats,
-                self.opt_state,
-                flats,
-                ec,
-                epoch_keys[start : start + size],
-                sums,
-            )
-            start += size
-        return finalize_metric_sums(cfg, sums)
+        return metrics

@@ -23,12 +23,15 @@ parity breaks — the parity path remains ``train.train_mnk``):
     is logged and skipped, reference :162-164 semantics at block
     granularity);
   * checkpoints are written at block boundaries (the nearest boundary at
-    or after the configured interval) and do not carry the mid-episode env
-    state (blocks re-reset envs on resume; the host-loop driver's resume
-    is bit-exact);
-  * league/PFSP matchmaking, mixed-opponent batches and chunked update
-    dispatch are NOT supported here — the driver rejects those configs up
-    front; use the host-loop driver (train.train_mnk) for them.
+    or after the configured interval) and DO carry the mid-episode env
+    state + episode accumulators — fused resume continues bit-exactly from
+    the boundary, like the host-loop driver's;
+  * chunked update dispatch (``update_chunks``) is honored by the "step"
+    dispatch mode (auto-selected when chunking is requested) — only an
+    explicit ``fused_dispatch='scan'`` conflicts with it;
+  * league/PFSP matchmaking and mixed-opponent batches are NOT supported
+    here — the driver rejects those configs up front; use the host-loop
+    driver (train.train_mnk) for them.
 """
 
 from __future__ import annotations
@@ -145,17 +148,19 @@ def train_mnk_fused(
             "fused training does not implement mixed-opponent batches "
             "(opponents_per_iteration > 1). Drop --fused or the option."
         )
-    if learner.config.update_chunks > 1:
-        # Fail fast instead of compiling a multi-minute program that a
-        # remote backend's execution deadline would kill mid-run: the fused
-        # block is by construction ONE program per validation interval and
-        # cannot honor chunked update dispatch. Big models that need
-        # update_chunks (CLAUDE.md ~90s tunnel kill) must use the host-loop
-        # driver (train.train_mnk).
+    if (
+        learner.config.update_chunks > 1
+        and config.get("fused_dispatch", "auto") == "scan"
+    ):
+        # The SCANNED block is by construction one program per validation
+        # interval and cannot honor chunked update dispatch; only an
+        # explicit scan request conflicts — "auto" resolves to the step
+        # dispatch below, which chunks fine.
         raise ValueError(
-            "fused training cannot honor update_chunks "
+            "fused_dispatch='scan' cannot honor update_chunks "
             f"({learner.config.update_chunks}): the whole block is one "
-            "compiled program. Drop --fused or --update-chunks."
+            "compiled program. Use fused_dispatch='auto'/'step' or drop "
+            "--update-chunks."
         )
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
@@ -189,6 +194,13 @@ def train_mnk_fused(
     )
     ckpt_interval = config.get("checkpoint_interval", 0)
 
+    # Materialize the self-play env state BEFORE the checkpoint template is
+    # built so mid-episode boards/sides/episode accumulators are part of the
+    # checkpoint pytree — fused resume then continues the exact env state it
+    # stopped with, matching the host-loop driver's bit-exactness (blocks
+    # used to re-reset envs on resume; round-2 VERDICT item 3).
+    learner.reset_envs(policy_act, learner.variables)
+
     def checkpoint_state(iteration: int) -> dict:
         return {
             "params": learner.params,
@@ -197,6 +209,10 @@ def train_mnk_fused(
             "benchmark": benchmark_variables,
             "pool": pool._asdict(),
             "rng": learner.rng,
+            "sp_state": learner._sp_state,
+            "obs": learner._obs,
+            "ep_rew": learner._ep_rew,
+            "ep_len": learner._ep_len,
             "iteration": iteration,
         }
 
@@ -204,12 +220,38 @@ def train_mnk_fused(
     if config.get("resume"):
         state, step = restore_checkpoint(ckpt_dir, checkpoint_state(0))
         if state is not None:
-            learner.params = state["params"]
-            learner.batch_stats = state["batch_stats"]
-            learner.opt_state = state["opt_state"]
-            learner.rng = state["rng"]
-            benchmark_variables = state["benchmark"]
-            pool = DevicePool(**state["pool"])
+            # Same mesh re-placement rule as train.train_mnk's restore:
+            # orbax restores to one device; replicated leaves must be
+            # re-placed and env-state leaves re-sharded before jit sees
+            # them next to mesh-placed arrays.
+            if learner.mesh is not None:
+                from .parallel.mesh import replicate as _rep
+                from .parallel.mesh import shard_batched as _shard
+
+                def rep(tree):
+                    return _rep(tree, learner.mesh)
+
+                def shard_env(tree):
+                    return _shard(tree, learner.mesh, learner.config.num_envs)
+
+            else:
+
+                def rep(tree):
+                    return tree
+
+                def shard_env(tree):
+                    return tree
+
+            learner.params = rep(state["params"])
+            learner.batch_stats = rep(state["batch_stats"])
+            learner.opt_state = rep(state["opt_state"])
+            learner.rng = rep(state["rng"])
+            benchmark_variables = rep(state["benchmark"])
+            pool = DevicePool(**rep(state["pool"]))
+            learner._sp_state = shard_env(state["sp_state"])
+            learner._obs = shard_env(state["obs"])
+            learner._ep_rew = shard_env(state["ep_rew"])
+            learner._ep_len = shard_env(state["ep_len"])
             start_iteration = int(state["iteration"]) + 1
             learner.iteration = start_iteration
             say(f"Resumed from checkpoint at iteration {start_iteration}")
@@ -227,16 +269,21 @@ def train_mnk_fused(
     # "auto" picks by per-iteration work (threshold from the ablation).
     dispatch = config.get("fused_dispatch", "auto")
     if dispatch == "auto":
-        dispatch = (
-            "step"
-            if config["num_envs"] * config["n_steps"] >= 1_000_000
-            else "scan"
-        )
+        if learner.config.update_chunks > 1:
+            # Only the step dispatch can split the update into chunk
+            # programs (the scan is one execution per block) — chunking is
+            # requested exactly when single executions must stay short.
+            dispatch = "step"
+        else:
+            dispatch = (
+                "step"
+                if config["num_envs"] * config["n_steps"] >= 1_000_000
+                else "scan"
+            )
     say(
         f"Starting fused training for {total_iterations} iterations "
         f"(validation every {vint}, dispatch={dispatch})"
     )
-    learner.reset_envs(policy_act, learner.variables)
 
     i = start_iteration
     last_ckpt = start_iteration - 1

@@ -326,3 +326,161 @@ def test_train_mnk_fused_resume_roundtrip(tmp_path, monkeypatch):
     steps = [r["_step"] for r in lines if "training/mean_reward" in r]
     assert steps and min(steps) >= 8 * 8 * 5
     assert not any(k.startswith("error/") for rec in lines for k in rec)
+
+
+def test_step_dispatch_chunked_update_matches_monolithic_bitwise():
+    """The step dispatch honors PPOConfig.update_chunks (round-2 VERDICT
+    item 3): routing the update through update_prepare/update_epochs chunk
+    programs must be bit-identical to the monolithic update program —
+    chunking exists for RPC execution deadlines, never for different math."""
+    import dataclasses
+
+    from rl_selfplay_mnk_tpu.alg.fused import train_step_iteration
+
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup()
+    config = dataclasses.replace(config, ppo_epochs=2)
+    config_chunked = dataclasses.replace(config, update_chunks=2)
+    entropy_fn = make_entropy_coef_fn(0.04, ENT_SCHEDULE, 8, 8)
+
+    def run(cfg):
+        pool = pool_init(variables, max_size=3)
+        pool = pool_add(pool, variables, 1.0)
+        ep0 = jnp.zeros((cfg.num_envs,), jnp.float32)
+        ep1 = jnp.zeros((cfg.num_envs,), jnp.float32)
+        carry = jax.tree.map(
+            jnp.copy,
+            (variables["params"], variables["batch_stats"], opt_state, pool,
+             jax.tree.map(jnp.copy, sp_state), obs, ep0, ep1,
+             jax.random.PRNGKey(2)),
+        )
+        outs = []
+        for i in range(2):
+            carry, m = train_step_iteration(
+                module, cfg, optimizer, policy_act, entropy_fn, 0.15, 20,
+                carry, i, jnp.float32(1.0),
+            )
+            outs.append(m)
+        return carry, outs
+
+    carry_a, outs_a = run(config)
+    carry_b, outs_b = run(config_chunked)
+    for a, b in zip(jax.tree.leaves(carry_a), jax.tree.leaves(carry_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for ma, mb in zip(outs_a, outs_b):
+        assert set(ma) == set(mb)
+        for key in ma:
+            np.testing.assert_array_equal(np.asarray(ma[key]), np.asarray(mb[key]))
+
+
+def test_train_mnk_fused_chunked_micro_end_to_end(tmp_path, monkeypatch):
+    """The fused driver accepts update_chunks now (it used to reject it):
+    auto dispatch resolves to 'step', training completes with no error
+    records; an explicit 'scan' request still conflicts."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=8,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=2,
+        update_chunks=2,
+        total_environment_steps=8 * 8 * 4,
+        validation_interval=2,
+        validation_episodes=16,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=2,
+        use_mesh=False,
+        entropy_coef_schedule=None,
+    )
+    logger = MetricsLogger(
+        run_name="fusedchunk", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk_fused(config, logger)
+    logger.finish()
+
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "fusedchunk.jsonl")]
+    keys = {k for rec in lines for k in rec}
+    assert "training/mean_reward" in keys
+    assert not any(k.startswith("error/") for k in keys)
+    exported = os.listdir(tmp_path / "models" / "fusedchunk")
+    assert "model_00004.msgpack" in exported
+
+    # explicit scan + chunks is a config error, caught up front
+    config["fused_dispatch"] = "scan"
+    with MetricsLogger(
+        run_name="fusedscan", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    ) as logger3:
+        with pytest.raises(ValueError, match="scan"):
+            train_mnk_fused(config, logger3)
+
+
+def test_fused_resume_is_bit_exact(tmp_path, monkeypatch):
+    """Fused checkpoints now carry mid-episode env state + episode
+    accumulators (round-2 VERDICT item 3): an interrupted-then-resumed
+    fused run produces EXACTLY the parameters of an uninterrupted one."""
+    monkeypatch.chdir(tmp_path)
+    from flax import serialization
+    from rl_selfplay_mnk_tpu.train import get_default_config
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    def base_config(total_iters, ckpt_dir):
+        config = get_default_config()
+        config.update(
+            mnk=(3, 3, 3),
+            num_envs=8,
+            n_steps=8,
+            batch_size=32,
+            ppo_epochs=1,
+            total_environment_steps=8 * 8 * total_iters,
+            validation_interval=2,
+            validation_episodes=8,
+            lr_warmup_steps=0,
+            architecture_name="cnn_b_s",
+            opponent_pool=2,
+            use_mesh=False,
+            checkpoint_interval=2,
+            checkpoint_dir=ckpt_dir,
+            entropy_coef_schedule=None,
+            seed=3,
+        )
+        return config
+
+    def final_weights(run):
+        path = tmp_path / "models" / run / "model_00006.msgpack"
+        with open(path, "rb") as f:
+            return f.read()
+
+    cfg = base_config(6, str(tmp_path / "ckptA"))
+    with MetricsLogger(run_name="fstraight", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk_fused(cfg, lg)
+
+    cfg = base_config(4, str(tmp_path / "ckptB"))
+    with MetricsLogger(run_name="fpart1", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk_fused(cfg, lg)
+    cfg = base_config(6, str(tmp_path / "ckptB"))
+    cfg["resume"] = True
+    with MetricsLogger(run_name="fpart2", config=cfg,
+                       out_dir=str(tmp_path / "runs"), use_wandb=False) as lg:
+        train_mnk_fused(cfg, lg)
+
+    a = serialization.msgpack_restore(final_weights("fstraight"))
+    b = serialization.msgpack_restore(final_weights("fpart2"))
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
