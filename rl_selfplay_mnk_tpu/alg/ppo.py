@@ -780,6 +780,12 @@ class PPOLearner:
             self.params = replicate(self.params, mesh)
             self.batch_stats = replicate(self.batch_stats, mesh)
             self.opt_state = replicate(self.opt_state, mesh)
+            # The RNG key must be a GLOBAL replicated array too: eager
+            # jax.random.split keeps whatever placement the key has, and a
+            # host-local single-device key cannot be serialized by orbax in
+            # a multi-process run (cooperative checkpoints would fail —
+            # caught by test_topology_change_resume, round 3).
+            self.rng = replicate(self.rng, mesh)
 
     @property
     def variables(self) -> dict:

@@ -6,10 +6,23 @@ all").
 Checkpoints carry the complete training pytree (params, batch_stats,
 optimizer state, opponent pool, benchmark params, iteration, device RNG
 key, host RNG streams, mid-episode env state and episode accumulators) via
-orbax, so the host-loop driver restarts bit-exactly where it stopped
-(pinned by tests/test_train_and_export.py resume-bit-exactness). The fused
-driver checkpoints at block boundaries and restores everything except the
-env state (its blocks re-reset envs; a documented deviation).
+orbax, so both drivers restart bit-exactly where they stopped: the
+host-loop driver per iteration (tests/test_train_and_export.py
+resume-bit-exactness) and the fused driver at block boundaries
+(tests/test_fused.py::test_fused_resume_is_bit_exact).
+
+Multi-process semantics (TPU pods): saves are COOPERATIVE — every process
+calls save_checkpoint with its addressable shards of the same global
+arrays (all checkpointed jax.Arrays must therefore be global, mesh-placed
+values; PPOLearner replicates its RNG key for exactly this reason).
+Restores RESHARD: orbax lays the saved values out according to the
+template the resuming processes pass, so a checkpoint saved under one
+process topology restores under another (e.g. 2 procs x 2 devices ->
+1 x 4 or 4 x 1 — the resized-pod-slice drill, pinned by
+tests/test_multiprocess.py::test_topology_change_resume). The global
+device count may also change for replicated leaves; env-sharded leaves
+additionally require num_envs to stay divisible by the new device count
+(the train drivers re-place them with shard_batched after restore).
 """
 
 from __future__ import annotations

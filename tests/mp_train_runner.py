@@ -24,6 +24,11 @@ def main() -> None:
     ap.add_argument("--run-name", required=True)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="override ckpt/<run_name> (topology-change resume tests share "
+        "one checkpoint dir across runs with different names/topologies)",
+    )
     args = ap.parse_args()
     os.chdir(args.workdir)
 
@@ -56,7 +61,8 @@ def main() -> None:
         opponent_pool=2,
         use_mesh=True,
         checkpoint_interval=args.checkpoint_interval,
-        checkpoint_dir=os.path.join(args.workdir, "ckpt", args.run_name),
+        checkpoint_dir=args.checkpoint_dir
+        or os.path.join(args.workdir, "ckpt", args.run_name),
         resume=args.resume,
         entropy_coef_schedule=None,
         watch_interval=0,

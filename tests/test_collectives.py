@@ -45,20 +45,10 @@ class _MLP(nn.Module):
         return ActorCriticHeads(action_dim=self.action_dim, hidden=32)(x[:, None, :])
 
 
-def _collective_defs(hlo_text: str):
-    """[(op_kind, result_type_string)] for every collective DEFINITION
-    (get-tuple-element consumers excluded)."""
-    out = []
-    for line in hlo_text.splitlines():
-        line = line.strip()
-        m = re.match(
-            r"%(all-reduce|all-gather|all-to-all|collective-permute|"
-            r"reduce-scatter)[.\d]* = ((?:\([^)]*\))|(?:\S+)) ",
-            line,
-        )
-        if m:
-            out.append((m.group(1), m.group(2)))
-    return out
+# the parser + canned assertions live in parallel/audit.py so the
+# driver-visible dryrun (__graft_entry__.dryrun_multichip) runs the same
+# audit on its own compiled programs
+from rl_selfplay_mnk_tpu.parallel.audit import collective_defs as _collective_defs
 
 
 @pytest.fixture(scope="module")
