@@ -250,3 +250,38 @@ def test_infold_kernels_match_xla_interpret():
             np.testing.assert_allclose(
                 np.asarray(got_g), np.asarray(want_g), rtol=2e-4, atol=2e-4
             )
+
+
+def test_overlap_pipeline_bodies_match_full_kernel():
+    """The Lq-tiled softmax/matmul overlap candidates (round-2 VERDICT
+    item 7, tools/attn_kernel_ablation.py) compute the same attention as
+    the single-pass kernel body — interpret-mode oracle before any
+    hardware A/B. Covers both the odd real length (81 -> tiles 32/32/17)
+    and an aligned one."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    from tools.attn_kernel_ablation import (
+        body_full,
+        build,
+        make_overlap_body,
+        make_overlap_tiled_scores_body,
+    )
+
+    for l in (81, 64):
+        key = jax.random.PRNGKey(l)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (8, 14, l), jnp.float32)
+        k = jax.random.normal(kk, (8, 14, l), jnp.float32)
+        v = jax.random.normal(kv, (8, 14, l), jnp.float32)
+        ref = build(body_full, q, l, tile=4, interpret=True)(q, k, v)
+        for lq_tile in (8, 16, 32):
+            for maker in (make_overlap_body, make_overlap_tiled_scores_body):
+                got = build(maker(lq_tile), q, l, tile=4, interpret=True)(
+                    q, k, v
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+                    err_msg=f"{maker.__name__}({lq_tile}) at L={l}",
+                )
