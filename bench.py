@@ -33,6 +33,8 @@ def run_bench(
     arch: str,
     use_pallas: bool = False,
     update_chunks: int = 0,
+    mnk=(9, 9, 5),
+    batch_size: int = 8192,
 ):
     from rl_selfplay_mnk_tpu.alg import PPOConfig, PPOLearner
     from rl_selfplay_mnk_tpu.env import EnvConfig
@@ -45,11 +47,13 @@ def run_bench(
     from rl_selfplay_mnk_tpu.utils.hardware import detect_hardware_config
 
     hw = detect_hardware_config()
-    env_cfg = EnvConfig(9, 9, 5, use_pallas=use_pallas)
+    m_, n_, k_ = mnk
+    env_cfg = EnvConfig(m_, n_, k_, use_pallas=use_pallas)
+    obs_shape = (2, m_, n_)
     module, _ = create_model_from_architecture(
-        arch, (2, 9, 9), 81, dtype=hw.compute_dtype
+        arch, obs_shape, m_ * n_, dtype=hw.compute_dtype
     )
-    variables = init_network(module, (2, 9, 9), jax.random.PRNGKey(0))
+    variables = init_network(module, obs_shape, jax.random.PRNGKey(0))
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
 
@@ -64,10 +68,10 @@ def run_bench(
         env=env_cfg,
         num_envs=num_envs,
         n_steps=n_steps,
-        batch_size=8192,
+        batch_size=batch_size,
         ppo_epochs=4,
         shuffle="grouped" if hw.is_accelerator else "global",
-        group_size=pick_group_size(8192),
+        group_size=pick_group_size(batch_size),
         update_chunks=update_chunks,
     )
     optimizer = optax.flatten(
@@ -433,6 +437,13 @@ def main():
     parser.add_argument("--update-chunks", type=int, default=0,
                         help="epoch-scan dispatch granularity (0 = auto: "
                         "per-epoch for transformers, monolithic otherwise)")
+    parser.add_argument("--mnk", type=int, nargs=3, default=[9, 9, 5],
+                        metavar=("M", "N", "K"),
+                        help="board size (13 13 5 = the reference's "
+                        "big-board recipe; throughput mode only)")
+    parser.add_argument("--batch-size", type=int, default=8192,
+                        help="PPO minibatch (the 13x13 recipe uses 4096; "
+                        "throughput mode only)")
     args = parser.parse_args()
 
     if args.mode == "learning":
@@ -457,12 +468,22 @@ def main():
 
     if args.fused and args.update_chunks not in (0, 1):
         sys.exit(
-            "--fused runs whole iterations as one compiled program and "
-            "cannot honor --update-chunks; drop one of the flags "
-            "(train.py rejects the same combination)"
+            "the fused BENCH path does not thread --update-chunks; drop one "
+            "of the flags (the fused TRAIN driver does honor update_chunks "
+            "via its step dispatch — train.py --fused --update-chunks N)"
         )
+    if args.fused and (tuple(args.mnk) != (9, 9, 5) or args.batch_size != 8192):
+        sys.exit("--fused bench is the 9x9x5 headline only; drop --mnk/--batch-size")
     bench_fn = run_bench_fused if args.fused else run_bench
-    kwargs = {} if args.fused else {"update_chunks": args.update_chunks}
+    kwargs = (
+        {}
+        if args.fused
+        else {
+            "update_chunks": args.update_chunks,
+            "mnk": tuple(args.mnk),
+            "batch_size": args.batch_size,
+        }
+    )
     res = bench_fn(
         args.num_envs, args.n_steps, args.iters, args.warmup, args.arch,
         use_pallas=args.use_pallas, **kwargs,
