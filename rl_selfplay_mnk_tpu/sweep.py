@@ -13,7 +13,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import math
+import os
 import random
 
 from .train_short import main as train_short_main
@@ -36,28 +38,104 @@ def sample_config(rng: random.Random) -> dict:
     return out
 
 
+def evaluate_vs_random(run_name: str, mnk, episodes: int, seed: int) -> dict:
+    """Cross-comparable trial outcome: the final export's win/score rate vs
+    a uniform-random policy (each trial's own validation stream is keyed to
+    its self-promoted benchmark, which is not comparable across trials)."""
+    import jax
+
+    from .env.mnk_env import EnvConfig
+    from .models.registry import make_apply_fns
+    from .selfplay.policies import RandomPolicy, make_network_policy
+    from .selfplay.validation import validate
+    from .utils.model_export import get_models_from_directory, load_any_model
+
+    model_dir = os.path.join("models", run_name)
+    latest = get_models_from_directory(model_dir)[-1]["model_id"]
+    module, variables, _ = load_any_model(model_dir, latest)
+    eval_apply, _ = make_apply_fns(module)
+    rp = RandomPolicy()
+    m, n, k = mnk
+    res = validate(
+        EnvConfig(m, n, k).validate(),
+        make_network_policy(eval_apply),
+        variables,
+        rp.apply,
+        rp.params,
+        episodes,
+        jax.random.PRNGKey(seed),
+    )
+    return {
+        "win_rate_vs_random": round(res["validation/vs_benchmark/win_rate"], 4),
+        "score_rate_vs_random": round(
+            res["validation/vs_benchmark/score_rate"], 4
+        ),
+    }
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--trials", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-episodes", type=int, default=0,
+                        help="after each trial, score its final export vs a "
+                        "random policy (cross-comparable outcome) and write "
+                        "a ranked summary JSON")
+    parser.add_argument("--summary-out", default=None,
+                        help="summary path (default runs/sweep_<seed>_summary.json)")
     # unknown flags pass through to the train_short target (scale overrides
     # for smoke tests / tiny-board sweeps)
     args, extra = parser.parse_known_args(argv)
 
+    mnk = (9, 9, 5)
+    if "--mnk" in extra:
+        i = extra.index("--mnk")
+        mnk = tuple(int(x) for x in extra[i + 1 : i + 4])
+
     rng = random.Random(args.seed)
+    results = []
     for t in range(args.trials):
         trial = sample_config(rng)
         print(f"\n=== sweep trial {t}: {trial} ===")
+        run_name = f"sweep_{args.seed}_{t}"
         train_short_main(
             [
                 "--learning_rate", str(trial["learning_rate"]),
                 "--entropy_coef", str(trial["entropy_coef"]),
                 "--architecture_name", trial["architecture_name"],
                 "--seed", str(args.seed * 1000 + t),
-                "--run-name", f"sweep_{args.seed}_{t}",
+                "--run-name", run_name,
             ]
             + extra
         )
+        row = {
+            "trial": t,
+            "run_name": run_name,
+            "learning_rate": round(trial["learning_rate"], 8),
+            "entropy_coef": round(trial["entropy_coef"], 6),
+            "architecture_name": trial["architecture_name"],
+        }
+        if args.eval_episodes:
+            row.update(
+                evaluate_vs_random(
+                    run_name, mnk, args.eval_episodes, args.seed * 1000 + t
+                )
+            )
+            print(f"trial {t} outcome: {row}")
+        results.append(row)
+
+    if args.eval_episodes:
+        results.sort(key=lambda r: -r["score_rate_vs_random"])
+        out = args.summary_out or f"runs/sweep_{args.seed}_summary.json"
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump({"search_space": {k: list(map(str, v))
+                                        for k, v in SEARCH_SPACE.items()},
+                       "trials": results}, f, indent=1)
+            f.write("\n")
+        print(f"\nsweep summary (best first) -> {out}")
+        for r in results:
+            print(r)
 
 
 if __name__ == "__main__":
