@@ -73,10 +73,55 @@ def evaluate_vs_random(run_name: str, mnk, episodes: int, seed: int) -> dict:
     }
 
 
+def _wandb_trial() -> None:
+    """One sweep trial under the wandb agent: the agent's ``wandb.init``
+    carries the sampled hyperparameters in ``run.config`` (the reference's
+    train_short reads them the same way via ``run.config.<attr>``)."""
+    import wandb
+
+    run = wandb.init()
+    cfg = dict(run.config)
+    train_short_main(
+        [
+            "--learning_rate", str(cfg.get("learning_rate", 5e-4)),
+            "--entropy_coef", str(cfg.get("entropy_coef", 0.04)),
+            "--architecture_name", cfg.get("architecture_name", "resnet_b_s"),
+        ]
+    )
+
+
+def run_wandb_agent(trials: int, sweep_id: str | None = None) -> str:
+    """The reference's actual sweep workflow (``wandb agent`` over
+    sweep_config.yaml) for environments WITH egress + wandb installed; the
+    local random-search driver below is the no-egress substitute with the
+    same search space. Returns the sweep id."""
+    try:
+        import wandb
+        import yaml
+    except ImportError as e:  # pragma: no cover - exercised via mock in tests
+        raise SystemExit(
+            f"--wandb needs the wandb package ({e}); use the local driver "
+            "(no flags) in egress-free environments"
+        )
+    if sweep_id is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "sweep_config.yaml")) as f:
+            sweep_cfg = yaml.safe_load(f)
+        sweep_id = wandb.sweep(sweep_cfg, project="mnk_b_sweeps")
+    wandb.agent(sweep_id, function=_wandb_trial, count=trials)
+    return sweep_id
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--trials", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wandb", action="store_true",
+                        help="run under the wandb sweep agent "
+                        "(sweep_config.yaml; needs egress + wandb)")
+    parser.add_argument("--sweep-id", default=None,
+                        help="join an existing wandb sweep instead of "
+                        "creating one")
     parser.add_argument("--eval-episodes", type=int, default=0,
                         help="after each trial, score its final export vs a "
                         "random policy (cross-comparable outcome) and write "
@@ -86,6 +131,10 @@ def main(argv=None) -> None:
     # unknown flags pass through to the train_short target (scale overrides
     # for smoke tests / tiny-board sweeps)
     args, extra = parser.parse_known_args(argv)
+
+    if args.wandb:
+        run_wandb_agent(args.trials, args.sweep_id)
+        return
 
     mnk = (9, 9, 5)
     if "--mnk" in extra:

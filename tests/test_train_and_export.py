@@ -394,3 +394,66 @@ def test_adaptive_eviction_keeps_strongest():
     for name, w in [("a", 0.9), ("b", 0.1), ("c", 0.5), ("d", 0.7)]:
         fifo.add_opponent(name, weight=w)
     assert list(fifo.pool) == ["b", "c", "d"]
+
+
+def test_sweep_wandb_agent_wiring(tmp_path, monkeypatch):
+    """The wandb sweep-agent path (reference workflow: sweep_config.yaml +
+    `wandb agent`) is wired correctly — verified with a mock wandb module
+    since this image has no egress: the sweep is created from the YAML
+    search space, the agent drives the trial function, and the trial reads
+    its hyperparameters from run.config into train_short."""
+    import sys
+    import types
+
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu import sweep as sweep_mod
+
+    calls = {}
+
+    class _Run:
+        config = {
+            "learning_rate": 3e-4,
+            "entropy_coef": 0.02,
+            "architecture_name": "cnn_b_s",
+        }
+
+    mock = types.ModuleType("wandb")
+    mock.init = lambda *a, **k: _Run()
+    def _sweep(cfg, project=None):
+        calls["sweep_cfg"] = cfg
+        calls["project"] = project
+        return "sweep-xyz"
+    def _agent(sweep_id, function=None, count=None):
+        calls["sweep_id"] = sweep_id
+        calls["count"] = count
+        function()  # one trial
+    mock.sweep = _sweep
+    mock.agent = _agent
+    monkeypatch.setitem(sys.modules, "wandb", mock)
+
+    trial_args = {}
+
+    def fake_train_short(argv):
+        trial_args["argv"] = argv
+
+    monkeypatch.setattr(sweep_mod, "train_short_main", fake_train_short)
+    sweep_mod.main(["--wandb", "--trials", "3"])
+
+    # sweep created from the repo's sweep_config.yaml (reference parity:
+    # same search space)
+    params = calls["sweep_cfg"]["parameters"]
+    assert set(params) == {
+        "learning_rate", "entropy_coef", "architecture_name"
+    }
+    assert calls["sweep_id"] == "sweep-xyz"
+    assert calls["count"] == 3
+    # the trial function passed run.config's sampled values to train_short
+    argv = trial_args["argv"]
+    assert argv[argv.index("--learning_rate") + 1] == "0.0003"
+    assert argv[argv.index("--architecture_name") + 1] == "cnn_b_s"
+
+    # joining an existing sweep skips creation
+    calls.clear()
+    sweep_mod.main(["--wandb", "--trials", "1", "--sweep-id", "abc"])
+    assert calls["sweep_id"] == "abc"
+    assert "sweep_cfg" not in calls
