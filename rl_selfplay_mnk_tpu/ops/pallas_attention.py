@@ -51,7 +51,7 @@ def _pick_tile(requested: int, bh: int, dh: int, lp: int, n_io: int, n_lxl: int)
     return tile
 
 
-def _attn_kernel(l_real, scale, q_ref, k_ref, v_ref, o_ref):
+def _attn_kernel(l_real, scale, lq_tile, q_ref, k_ref, v_ref, o_ref):
     # refs: (TBH, Dh, Lp) — head_dim on the SUBLANE axis so the tiny Dh
     # isn't padded to 128 lanes (6x VMEM saving vs (Lp, Dh) layout).
     q = q_ref[:]
@@ -66,20 +66,49 @@ def _attn_kernel(l_real, scale, q_ref, k_ref, v_ref, o_ref):
     s = s * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < l_real, s, NEG_INF)
-    s = s - s.max(axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / p.sum(axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        v,
-        p.astype(v.dtype),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TBH, Dh, Lp_q)
-    o_ref[:] = o.astype(q.dtype)
+    if not lq_tile or lq_tile >= s.shape[1]:
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            v,
+            p.astype(v.dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TBH, Dh, Lp_q)
+        o_ref[:] = o.astype(q.dtype)
+        return
+    # Overlap pipeline (round-2 VERDICT item 7, MEASURED NEGATIVE at
+    # production shapes — default off): softmax and P@V alternate over
+    # query-row tiles in an UNROLLED loop — tile t's P@V (MXU) is
+    # independent of tile t+1's softmax (VPU), so Mosaic's scheduler can
+    # overlap the two units. Row tiles slice the SUBLANE axis of s (cheap);
+    # per-tile outputs concatenate back on the output's lane axis. Per-row
+    # math is identical to the untiled path, so results are bit-exact.
+    # Measured: −17% ONLY against explicitly padded Lp=96 input blocks
+    # (tools/attn_kernel_ablation.py); at the production UNPADDED L=81
+    # blocks the untiled kernel already runs at the overlapped speed
+    # (5.78 vs 5.76 ms at d56/H4 — PERFORMANCE.md "softmax/matmul
+    # overlap"), so the two optimizations do not compose.
+    outs = []
+    for a in range(0, s.shape[1], lq_tile):
+        st = s[:, a : a + lq_tile, :]
+        st = st - st.max(axis=-1, keepdims=True)
+        p = jnp.exp(st)
+        p = p / p.sum(axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                v,
+                p.astype(v.dtype),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (TBH, Dh, tile)
+    o_ref[:] = jnp.concatenate(outs, axis=2).astype(q.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_heads", "interpret")
+    jax.jit, static_argnames=("tile_heads", "interpret", "lq_tile")
 )
 def _attention_fwd_pallas(
     q: jax.Array,  # (BH, Dh, L) — transposed head layout
@@ -87,6 +116,7 @@ def _attention_fwd_pallas(
     v: jax.Array,
     tile_heads: int = 128,
     interpret: bool = False,
+    lq_tile: int = 0,
 ) -> jax.Array:
     bh, dh, l = q.shape
     scale = 1.0 / (dh**0.5)
@@ -99,7 +129,7 @@ def _attention_fwd_pallas(
     tile = _pick_tile(tile_heads, bh, dh, l, n_io=4, n_lxl=2)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, l, scale),
+        functools.partial(_attn_kernel, l, scale, lq_tile),
         grid=(bh // tile,),
         in_specs=[
             pl.BlockSpec((tile, dh, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -114,7 +144,9 @@ def _attention_fwd_pallas(
     return out
 
 
-def _attn_bwd_kernel(l_real, scale, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+def _attn_bwd_kernel(
+    l_real, scale, lq_tile, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref
+):
     # All refs (TBH, Dh, Lp). Recomputes p in VMEM (flash-style), then the
     # standard softmax-attention gradients — five batched MXU matmuls with
     # zero HBM traffic for the L x L intermediates.
@@ -130,33 +162,82 @@ def _attn_bwd_kernel(l_real, scale, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
     s = s * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < l_real, s, NEG_INF)
-    s = s - s.max(axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / p.sum(axis=-1, keepdims=True)  # (T, Lq, Lk)
 
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (T, Lq, Lk)
-    row = (dp * p).sum(axis=-1, keepdims=True)
-    ds = (p * (dp - row) * scale).astype(q.dtype)  # (T, Lq, Lk)
+    if not lq_tile or lq_tile >= s.shape[1]:
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)  # (T, Lq, Lk)
 
-    dq_ref[:] = jax.lax.dot_general(
-        k, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
-    dk_ref[:] = jax.lax.dot_general(
-        q, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
-    dv_ref[:] = jax.lax.dot_general(
-        do, p.astype(q.dtype), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (T, Lq, Lk)
+        row = (dp * p).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(q.dtype)  # (T, Lq, Lk)
+
+        dq_ref[:] = jax.lax.dot_general(
+            k, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        dk_ref[:] = jax.lax.dot_general(
+            q, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        dv_ref[:] = jax.lax.dot_general(
+            do, p.astype(q.dtype), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        return
+
+    # Query-row-tiled overlap pipeline (see _attn_kernel; MEASURED NEGATIVE
+    # at the reference shapes — 12.3 -> 13.3 ms at d56/H4, default off):
+    # each tile's VPU phase (softmax recompute, dp*p row-sum, ds
+    # elementwise) interleaves with four MXU matmuls of neighbouring tiles.
+    # dq rows concatenate; dk/dv contract over Lq, so per-tile
+    # contributions accumulate in f32.
+    # Bit-exactness caveat: the dk/dv accumulation order changes (tile-major
+    # f32 adds instead of one long MXU contraction), so gradients match the
+    # untiled kernel only to f32 rounding — the oracle tests compare against
+    # XLA at kernel tolerance either way.
+    dqs = []
+    dk_acc = jnp.zeros(k.shape, jnp.float32)
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
+    for a in range(0, s.shape[1], lq_tile):
+        st = s[:, a : a + lq_tile, :]
+        st = st - st.max(axis=-1, keepdims=True)
+        p = jnp.exp(st)
+        p = p / p.sum(axis=-1, keepdims=True)  # (T, tl, Lk)
+
+        dot = do[:, :, a : a + lq_tile]  # (T, Dh, tl)
+        qt = q[:, :, a : a + lq_tile]
+        dp = jax.lax.dot_general(
+            dot, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (T, tl, Lk)
+        row = (dp * p).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(q.dtype)  # (T, tl, Lk)
+
+        dqs.append(jax.lax.dot_general(
+            k, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # (T, Dh, tl)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            qt, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dv_acc = dv_acc + jax.lax.dot_general(
+            dot, p.astype(q.dtype), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[:] = jnp.concatenate(dqs, axis=2).astype(q.dtype)
+    dk_ref[:] = dk_acc.astype(q.dtype)
+    dv_ref[:] = dv_acc.astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_heads", "interpret"))
-def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_heads", "interpret", "lq_tile"))
+def _attention_bwd_pallas(
+    q, k, v, do, tile_heads: int = 32, interpret: bool = False, lq_tile: int = 0
+):
     bh, dh, l = q.shape
     scale = 1.0 / (dh**0.5)
     # Unpadded logical shapes end-to-end (see the forward's note): saves 4
@@ -166,7 +247,7 @@ def _attention_bwd_pallas(q, k, v, do, tile_heads: int = 32, interpret: bool = F
     spec = pl.BlockSpec((tile, dh, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((bh, dh, l), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, l, scale),
+        functools.partial(_attn_bwd_kernel, l, scale, lq_tile),
         grid=(bh // tile,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),

@@ -285,3 +285,37 @@ def test_overlap_pipeline_bodies_match_full_kernel():
                     np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
                     err_msg=f"{maker.__name__}({lq_tile}) at L={l}",
                 )
+
+
+def test_lq_tiled_kernel_paths_match_untiled():
+    """The in-kernel lq_tile overlap paths (retained measured negatives at
+    production shapes — PERFORMANCE.md "softmax/matmul overlap") stay
+    equivalent to the untiled defaults: per-row math is identical (measured
+    bit-exact on TPU hardware; interpret mode's XLA-CPU dots reduce in a
+    shape-dependent order, so compare at f32 rounding tolerance here), bwd
+    additionally tolerates the dk/dv tile accumulation order. Odd L
+    exercises the ragged last tile."""
+    from rl_selfplay_mnk_tpu.ops.pallas_attention import _attention_bwd_pallas
+
+    rng = np.random.default_rng(7)
+    bh, l, dh = 8, 81, 14
+    q, k, v, g = (
+        jnp.asarray(rng.normal(size=(bh, dh, l)).astype(np.float32))
+        for _ in range(4)
+    )
+    fwd_ref = _attention_fwd_pallas(q, k, v, tile_heads=4, interpret=True)
+    bwd_ref = _attention_bwd_pallas(q, k, v, g, tile_heads=4, interpret=True)
+    for lq_tile in (16, 32):
+        fwd = _attention_fwd_pallas(
+            q, k, v, tile_heads=4, interpret=True, lq_tile=lq_tile
+        )
+        np.testing.assert_allclose(
+            np.asarray(fwd), np.asarray(fwd_ref), rtol=2e-6, atol=2e-6
+        )
+        bwd = _attention_bwd_pallas(
+            q, k, v, g, tile_heads=4, interpret=True, lq_tile=lq_tile
+        )
+        for got, want in zip(bwd, bwd_ref):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+            )
