@@ -447,6 +447,13 @@ def main():
     args = parser.parse_args()
 
     if args.mode == "learning":
+        if (tuple(args.mnk) != (9, 9, 5) or args.batch_size != 8192
+                or args.update_chunks != 0):
+            sys.exit(
+                "--mode learning is the fixed 9x9x5 reference-default "
+                "workload; --mnk/--batch-size/--update-chunks are "
+                "throughput-mode flags and would be silently ignored"
+            )
         learn_fn = run_learning_bench_fused if args.fused else run_learning_bench
         res = learn_fn(args.learn_iters, args.arch, seed=args.seed)
         print(

@@ -13,20 +13,27 @@ from __future__ import annotations
 
 import re
 
+# Matches sync collectives AND the async forms XLA may rewrite them into
+# (`x-start`/`x-done` pairs), with or without a ROOT prefix. For async
+# pairs only the `-done` line is counted: its result type equals the sync
+# op's (the `-start` yields an implementation tuple), so one async
+# collective contributes exactly one inventory entry with the same
+# (kind, type) the sync form would.
 _COLLECTIVE_DEF = re.compile(
-    r"%(all-reduce|all-gather|all-to-all|collective-permute|"
-    r"reduce-scatter)[.\d]* = ((?:\([^)]*\))|(?:\S+)) "
+    r"(?:ROOT )?%(all-reduce|all-gather|all-to-all|collective-permute|"
+    r"reduce-scatter)(-start|-done)?[.\d]* = ((?:\([^)]*\))|(?:\S+)) "
 )
 
 
 def collective_defs(hlo_text: str) -> list:
     """[(op_kind, result_type_string)] for every collective DEFINITION in
-    optimized HLO text (get-tuple-element consumers excluded)."""
+    optimized HLO text (get-tuple-element consumers excluded; async
+    start/done pairs counted once, at the -done, as the base kind)."""
     out = []
     for line in hlo_text.splitlines():
         m = _COLLECTIVE_DEF.match(line.strip())
-        if m:
-            out.append((m.group(1), m.group(2)))
+        if m and m.group(2) != "-start":
+            out.append((m.group(1), m.group(3)))
     return out
 
 

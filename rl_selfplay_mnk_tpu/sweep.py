@@ -133,6 +133,20 @@ def main(argv=None) -> None:
     args, extra = parser.parse_known_args(argv)
 
     if args.wandb:
+        # the agent path runs the reference's exact workflow: trials get
+        # their config from wandb, so local-only conveniences don't apply
+        if extra:
+            raise SystemExit(
+                f"--wandb runs trials from the wandb sweep config; the "
+                f"passthrough overrides {extra} would be silently ignored — "
+                "drop them or use the local driver (no --wandb)"
+            )
+        if args.eval_episodes or args.summary_out:
+            raise SystemExit(
+                "--eval-episodes/--summary-out are local-driver features "
+                "(the wandb UI ranks agent trials); drop them or use the "
+                "local driver (no --wandb)"
+            )
         run_wandb_agent(args.trials, args.sweep_id)
         return
 

@@ -18,7 +18,6 @@ collective inventory of the optimized HLO:
     all-reduce of every minibatch — the round-2 audit caught exactly that).
 """
 
-import re
 
 import jax
 import jax.numpy as jnp
@@ -126,12 +125,33 @@ def test_update_collective_bytes_are_param_scale(sharded_programs):
     """The per-minibatch all-reduce volume must scale with PARAMS, not with
     the minibatch: every reduced tensor is no bigger than the largest
     parameter (so communication is the gradient psum, not data movement)."""
+    from rl_selfplay_mnk_tpu.parallel.audit import _f32_operand_sizes
+
     _, upd_hlo = sharded_programs
     biggest = 32 * 18  # largest param leaf of _MLP: Dense(32) over 18 inputs
     for kind, rtype in _collective_defs(upd_hlo):
-        for dims in re.findall(r"f32\[([\d,]*)\]", rtype):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
+        for n in _f32_operand_sizes(rtype):
             assert n <= biggest, f"oversized collective operand: {rtype}"
+
+
+def test_collective_defs_parses_async_and_root_forms():
+    """The inventory must see collectives in every spelling XLA emits:
+    sync, ROOT-prefixed, and async -start/-done pairs (counted once, at
+    the -done, whose result type equals the sync op's). A missed spelling
+    would let the psum-only/communication-free asserts false-pass."""
+    hlo = "\n".join([
+        "  %all-reduce.1 = (f32[], f32[], f32[]) all-reduce(...)",
+        "  ROOT %all-reduce.9 = f32[576] all-reduce(...)",
+        "  %all-gather-start.2 = (f32[128], f32[512]) all-gather-start(...)",
+        "  %all-gather-done.2 = f32[512] all-gather-done(...)",
+        "  %get-tuple-element.3 = f32[512] get-tuple-element(...)",
+        "  %collective-permute-start.4 = (u8[64], u8[64]) collective-permute-start(...)",
+        "  %collective-permute-done.4 = u8[64] collective-permute-done(...)",
+    ])
+    defs = _collective_defs(hlo)
+    assert defs == [
+        ("all-reduce", "(f32[], f32[], f32[])"),
+        ("all-reduce", "f32[576]"),
+        ("all-gather", "f32[512]"),
+        ("collective-permute", "u8[64]"),
+    ], defs

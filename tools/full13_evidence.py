@@ -35,6 +35,8 @@ def pick_exports(model_dir: str, n: int) -> list:
     assert len(paths) >= 2, f"not enough exports in {model_dir}"
     if len(paths) <= n:
         return paths
+    if n < 2:  # a 1-export "tournament" is meaningless; keep first+last
+        return [paths[0], paths[-1]]
     idx = [round(i * (len(paths) - 1) / (n - 1)) for i in range(n)]
     return [paths[i] for i in sorted(set(idx))]
 

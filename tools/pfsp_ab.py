@@ -121,7 +121,7 @@ def main() -> None:
     out = {"config": {"iters": args.iters, "seed": args.seed,
                       "games_per_pair": args.games},
            "runs": results}
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
