@@ -358,3 +358,27 @@ def test_tournament_bounds_loaded_models(exported_models):
     assert len(results) == 3  # all pairs still played
     assert peak["n"] <= 2
     assert all(m._loaded is None for m in models)  # all unloaded at the end
+
+
+def test_full13_evidence_pick_exports(tmp_path):
+    """Evenly spaced export selection always includes first+last, dedups,
+    and survives degenerate --exports values (review finding: n=1 divided
+    by zero after the summary was already written)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    from full13_evidence import pick_exports
+
+    for i in (5, 100, 2040, 3395, 6103):
+        (tmp_path / f"model_{i:05d}.msgpack").write_bytes(b"x")
+    all_paths = pick_exports(str(tmp_path), 10)
+    assert len(all_paths) == 5  # fewer exports than requested: all of them
+    three = pick_exports(str(tmp_path), 3)
+    assert [p.split("model_")[-1] for p in three] == [
+        "00005.msgpack", "02040.msgpack", "06103.msgpack"
+    ]
+    one = pick_exports(str(tmp_path), 1)
+    assert [p.split("model_")[-1] for p in one] == [
+        "00005.msgpack", "06103.msgpack"
+    ]
