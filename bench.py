@@ -447,12 +447,26 @@ def main():
     args = parser.parse_args()
 
     if args.mode == "learning":
-        if (tuple(args.mnk) != (9, 9, 5) or args.batch_size != 8192
-                or args.update_chunks != 0):
+        # Every throughput-only flag is rejected when moved off its default
+        # (ADVICE round-3: run_learning_bench hardcodes the reference
+        # workload — a silently-ignored flag here is a lying benchmark).
+        ignored = [
+            name for name, val, default in (
+                ("--mnk", tuple(args.mnk), (9, 9, 5)),
+                ("--batch-size", args.batch_size, 8192),
+                ("--update-chunks", args.update_chunks, 0),
+                ("--num-envs", args.num_envs, 8192),
+                ("--n-steps", args.n_steps, 256),
+                ("--iters", args.iters, 3),
+                ("--warmup", args.warmup, 1),
+                ("--use-pallas", args.use_pallas, False),
+            ) if val != default
+        ]
+        if ignored:
             sys.exit(
                 "--mode learning is the fixed 9x9x5 reference-default "
-                "workload; --mnk/--batch-size/--update-chunks are "
-                "throughput-mode flags and would be silently ignored"
+                f"workload; {', '.join(ignored)} are throughput-mode flags "
+                "and would be silently ignored"
             )
         learn_fn = run_learning_bench_fused if args.fused else run_learning_bench
         res = learn_fn(args.learn_iters, args.arch, seed=args.seed)

@@ -147,6 +147,12 @@ def main(argv=None) -> None:
                 "(the wandb UI ranks agent trials); drop them or use the "
                 "local driver (no --wandb)"
             )
+        if args.seed != 0:
+            raise SystemExit(
+                "--seed is a local-driver flag (agent trials draw their "
+                "config — and thus their seeding — from the wandb sweep); "
+                "a non-default value would be silently ignored"
+            )
         run_wandb_agent(args.trials, args.sweep_id)
         return
 
