@@ -39,7 +39,13 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..selfplay.opponent_pool import DevicePool, pool_add_if, pool_sample
+from ..selfplay.opponent_pool import (
+    DevicePool,
+    pool_add_if,
+    pool_record_result_if,
+    pool_sample,
+    pool_sample_league,
+)
 from .ppo import PPOConfig, rollout_impl, update_impl
 
 
@@ -59,6 +65,9 @@ def _select(pred: jax.Array, a: Any, b: Any) -> Any:
         "block_len",
         "pool_prob",
         "insert_interval",
+        "matchmaking",
+        "pfsp_power",
+        "league_ema",
     ),
     # params/batch_stats are deliberately NOT donated (same rule as the
     # host-path update): they are the only state a failed block cannot
@@ -94,6 +103,9 @@ def train_block(
     rng: jax.Array,
     iteration0: jax.Array,
     insert_weight: jax.Array,
+    matchmaking: str = None,
+    pfsp_power: float = 2.0,
+    league_ema: float = 0.3,
 ):
     """Run iterations [iteration0, iteration0 + block_len) on device.
 
@@ -101,6 +113,13 @@ def train_block(
     ``insert_weight`` is the sampling weight attached to pool insertions
     inside this block (the host passes the latest validation score rate in
     weighted-pool mode; 1.0 otherwise — train.py:216,302 equivalent).
+
+    ``matchmaking`` (None | "uniform" | "pfsp_hard" | "pfsp_even") turns on
+    device-side league play: opponents are PFSP-drawn from the pool's
+    per-slot score EMAs, and each historical iteration's outcome is folded
+    back into the drawn slot's EMA inside the program — the DevicePool twin
+    of selfplay/league.py with the same weight formulas, prior, and EMA
+    factor (host-loop semantic parity, round-3 VERDICT item 5).
 
     ``ep_rew``/``ep_len`` are the per-env in-progress episode accumulators
     carried across blocks (reference ppo.py:81-89 semantics — see
@@ -118,6 +137,7 @@ def train_block(
         return _iteration_impl(
             module, config, optimizer, opponent_apply, entropy_fn,
             pool_prob, insert_interval, carry, iteration0 + i, insert_weight,
+            matchmaking, pfsp_power, league_ema,
         )
 
     carry = (
@@ -133,21 +153,29 @@ def train_block(
 def _iteration_impl(
     module, config, optimizer, opponent_apply, entropy_fn,
     pool_prob, insert_interval, carry, it, insert_weight,
+    matchmaking=None, pfsp_power=2.0, league_ema=0.3,
 ):
     """One whole device-resident iteration: opponent draw -> rollout ->
-    update -> masked pool insert. Shared by the scanned block (above) and
-    the per-iteration dispatch (``train_iteration`` below)."""
+    update -> league result record -> masked pool insert. Shared by the
+    scanned block (above) and the per-iteration dispatch
+    (``train_iteration`` below)."""
     (
         params, batch_stats, opt_state, pool, sp_state, obs,
         ep_rew, ep_len, rng,
     ) = carry
     rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
 
-        # Opponent schedule (reference train.py:108-114): 15% historical
+    # Opponent schedule (reference train.py:108-114): 15% historical
     # from the pool, else a snapshot of the current network. The pool
     # sample is a gather; both branches are merged with a dense select.
     current = {"params": params, "batch_stats": batch_stats}
-    sampled = pool_sample(pool, k_pick)
+    if matchmaking:
+        drawn_idx, sampled = pool_sample_league(
+            pool, k_pick, matchmaking, pfsp_power
+        )
+    else:
+        drawn_idx = jnp.int32(0)
+        sampled = pool_sample(pool, k_pick)
     historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
     opponent = _select(historical, sampled, current)
 
@@ -177,6 +205,18 @@ def _iteration_impl(
         ent_coef,
         k_upd,
     )
+
+    # League result record (host-loop train.py order: record, THEN the
+    # cadence insert): fold the iteration's mean finished-episode reward vs
+    # the drawn member into its slot EMA — only on historical iterations.
+    if matchmaking:
+        mean_rew = jnp.where(
+            fin[2] > 0, fin[0] / jnp.maximum(fin[2], 1.0), 0.0
+        )
+        pool = pool_record_result_if(
+            pool, drawn_idx, (mean_rew + 1.0) / 2.0, historical,
+            ema=league_ema,
+        )
 
     # Pool insertion cadence (reference :122-123): every
     # ``insert_interval`` iterations, post-update snapshot. The masked
@@ -220,25 +260,38 @@ def _iteration_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("entropy_fn", "pool_prob"),
+    static_argnames=("entropy_fn", "pool_prob", "matchmaking", "pfsp_power"),
 )
-def _draw_program(entropy_fn, pool_prob, pool, params, batch_stats, rng, it):
+def _draw_program(
+    entropy_fn, pool_prob, pool, params, batch_stats, rng, it,
+    matchmaking=None, pfsp_power=2.0,
+):
     """Opponent draw + per-iteration keys + entropy coef, on device (one
     tiny program; consumes RNG exactly like train_block's scan body)."""
     rng, k_draw, k_pick, k_roll, k_upd = jax.random.split(rng, 5)
     current = {"params": params, "batch_stats": batch_stats}
-    sampled = pool_sample(pool, k_pick)
+    if matchmaking:
+        drawn_idx, sampled = pool_sample_league(
+            pool, k_pick, matchmaking, pfsp_power
+        )
+    else:
+        drawn_idx = jnp.int32(0)
+        sampled = pool_sample(pool, k_pick)
     historical = (jax.random.uniform(k_draw) < pool_prob) & (pool.size > 0)
     opponent = _select(historical, sampled, current)
-    return rng, k_roll, k_upd, opponent, historical, entropy_fn(it)
+    return rng, k_roll, k_upd, opponent, historical, drawn_idx, entropy_fn(it)
 
 
 _pool_insert = jax.jit(pool_add_if, donate_argnames=("pool",))
+_pool_record = jax.jit(
+    pool_record_result_if, donate_argnames=("pool",), static_argnames=("ema",)
+)
 
 
 def train_step_iteration(
     module, config, optimizer, opponent_apply, entropy_fn,
     pool_prob, insert_interval, carry, it: int, insert_weight,
+    matchmaking=None, pfsp_power=2.0, league_ema=0.3,
 ):
     """One fused-driver iteration as host-dispatched standalone programs.
 
@@ -247,36 +300,45 @@ def train_step_iteration(
     caller fetches once per block). ``it`` is a HOST int: the pool-insert
     cadence check happens host-side, so 19 of 20 iterations skip the insert
     program entirely (the masked on-device insert with do_insert=False is
-    an identity, so this is bit-equivalent).
+    an identity, so this is bit-equivalent). With ``matchmaking`` set, the
+    league record is one extra tiny program per iteration — same math and
+    order as the scanned body (record, then cadence insert).
 
     Honors ``PPOConfig.update_chunks``: the update phase dispatches through
     the shared ``update_chunked`` (prepare + epoch-chunk programs, math
     bit-identical to the monolithic ``update``) — this is what lets the
     5-layer transformers, whose monolithic update exceeds RPC execution
     deadlines, run fused at all (round-2 VERDICT item 3)."""
-    from .ppo import rollout, update, update_chunked
+    from .ppo import rollout, update_chunked
 
     (
         params, batch_stats, opt_state, pool, sp_state, obs,
         ep_rew, ep_len, rng,
     ) = carry
-    rng, k_roll, k_upd, opponent, historical, ent_coef = _draw_program(
-        entropy_fn, pool_prob, pool, params, batch_stats, rng,
-        jnp.int32(it),
+    rng, k_roll, k_upd, opponent, historical, drawn_idx, ent_coef = (
+        _draw_program(
+            entropy_fn, pool_prob, pool, params, batch_stats, rng,
+            jnp.int32(it), matchmaking, pfsp_power,
+        )
     )
     sp_state, obs, batch_stats, traj, fin, (ep_rew, ep_len), _ = rollout(
         module, config, opponent_apply, params, batch_stats, opponent,
         sp_state, obs, ep_rew, ep_len, k_roll,
     )
-    if config.update_chunks > 1:
-        params, batch_stats, opt_state, metrics = update_chunked(
-            module, config, optimizer, params, batch_stats, opt_state,
-            traj, obs, ent_coef, k_upd,
+    # Prepare+epochs dispatch even at update_chunks=1: bit-identical to the
+    # monolithic program, and the prepare program's traj donation reclaims
+    # the trajectory's HBM for the flats (see ppo.update_prepare).
+    params, batch_stats, opt_state, metrics = update_chunked(
+        module, config, optimizer, params, batch_stats, opt_state,
+        traj, obs, ent_coef, k_upd,
+    )
+    if matchmaking:
+        mean_rew = jnp.where(
+            fin[2] > 0, fin[0] / jnp.maximum(fin[2], 1.0), 0.0
         )
-    else:
-        params, batch_stats, opt_state, metrics = update(
-            module, config, optimizer, params, batch_stats, opt_state,
-            traj, obs, ent_coef, k_upd,
+        pool = _pool_record(
+            pool, drawn_idx, (mean_rew + 1.0) / 2.0, historical,
+            ema=league_ema,
         )
     if it % insert_interval == 0:
         pool = _pool_insert(

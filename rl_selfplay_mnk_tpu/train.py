@@ -88,6 +88,11 @@ def get_default_config() -> Dict[str, Any]:
         "resume": False,
         "use_mesh": True,  # shard envs over all local devices when >1
         "use_pallas": False,  # fused Pallas env-step kernel
+        # ZeRO-1 sharded learner (parallel/zero.py): optimizer moments +
+        # step sharded over the env axis, grads reduce-scattered, updates
+        # all-gathered. Opt-in: at this model scale the replicated learner
+        # measures equal (PERFORMANCE.md "Sharded learner (ZeRO-1)").
+        "zero_sharded_optimizer": False,
         "pool_weighted": False,  # score-weighted opponent sampling (extension)
         "pool_eviction": "fifo",  # "adaptive" = evict weakest, not oldest
         # None = reference pool; "uniform"/"pfsp_hard"/"pfsp_even" = league
@@ -139,8 +144,21 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
             shuffle = "tiled"
         else:
             shuffle = "global"
+    # ZeRO sharded learner eligibility: the full shard_map collective
+    # schedule (alg/zero_epochs.py — reduce-scatter grads / all-gather
+    # updates, sharded moments) needs a >1-device mesh, the shard-local
+    # grouped shuffle, and a batch-stat-free architecture; BN architectures
+    # fall back to GSPMD optimizer-state sharding (parallel/zero.py).
+    zero_requested = bool(config.get("zero_sharded_optimizer")) and mesh is not None
+    zero_full = (
+        zero_requested
+        and num_devices > 1
+        and shuffle == "grouped"
+        and not variables.get("batch_stats")
+    )
     ppo_cfg = PPOConfig(
         env=env_cfg,
+        zero_update=zero_full,
         num_envs=config["num_envs"],
         n_steps=config["n_steps"],
         gamma=config["gamma"],
@@ -154,6 +172,13 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         update_chunks=config.get("update_chunks", 1),
         watch=config.get("watch_interval", 0) > 0,
         watch_hist_bins=config.get("watch_grad_hist_bins", 0),
+        # Mixed-opponent iterations: per-block episode accounting so league
+        # scores attribute each block's outcome to its own pool member.
+        fin_blocks=(
+            int(config.get("opponents_per_iteration", 1))
+            if int(config.get("opponents_per_iteration", 1)) > 1
+            else 0
+        ),
     )
     lr_schedule = make_lr_schedule(
         base_lr=config["learning_rate"],
@@ -164,14 +189,35 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         updates_per_iteration=ppo_cfg.updates_per_iteration,
         decay=config["lr_decay"],
     )
-    # optax.flatten collapses the per-tensor optimizer update into one flat
-    # vector — one fused kernel instead of ~60 tiny ones per SGD step.
-    optimizer = optax.flatten(
-        optax.chain(
-            optax.clip_by_global_norm(0.5),
-            optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01),
+    if zero_full:
+        # Full ZeRO epoch path: ELEMENTWISE inner optimizer only — the
+        # global-norm clip runs in-body on the gradient shard with a scalar
+        # psum (alg/zero_epochs.py; PPOConfig.zero_clip_norm = 0.5).
+        optimizer = optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01)
+    else:
+        if zero_requested:
+            # The GSPMD state-sharding variant (parallel/zero.py) is NOT
+            # wired here: its flat-vector sharding constraints leak into
+            # the partitioner's activation layouts ("involuntary full
+            # rematerialization", measured on the virtual mesh —
+            # PERFORMANCE.md "Sharded learner"). Ineligible configs get
+            # the replicated learner, loudly.
+            print(
+                "zero_sharded_optimizer requested but ineligible "
+                f"(devices={num_devices}, shuffle={shuffle!r}, "
+                f"batch_stats={bool(variables.get('batch_stats'))}): "
+                "the ZeRO epoch path needs a >1-device mesh, the grouped "
+                "shuffle, and a batch-stat-free architecture — using the "
+                "replicated data-parallel learner instead"
+            )
+        # optax.flatten collapses the per-tensor optimizer update into one
+        # flat vector — one fused kernel instead of ~60 tiny ones per step.
+        optimizer = optax.flatten(
+            optax.chain(
+                optax.clip_by_global_norm(0.5),
+                optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01),
+            )
         )
-    )
     learner = PPOLearner(module, ppo_cfg, optimizer, variables, k_learn, mesh=mesh)
     return learner, module, env_cfg, arch_params, lr_schedule
 
@@ -448,9 +494,14 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
                 draws = [draw_opponent() for _ in range(k_opponents)]
                 opponent_variables = stack_params([d[0] for d in draws])
                 source = ",".join(d[1] for d in draws)
-                drawn_ids = [d[2] for d in draws if d[2] is not None]
+                # Positional: block_ids[b] is the pool member playing env
+                # block b (None for current-agent blocks) — consumed by the
+                # per-block attribution below.
+                block_ids = [d[2] for d in draws]
+                drawn_ids = [x for x in block_ids if x is not None]
             else:
                 opponent_variables, source, drawn_id = draw_opponent()
+                block_ids = None
                 drawn_ids = [drawn_id] if drawn_id is not None else []
             # Keyed at THIS iteration's final env-step count so it joins the
             # iteration's other metrics (and matches the fused driver).
@@ -475,14 +526,22 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
             current_env_steps = (i + 1) * steps_per_iteration
 
             # League matchmaking: fold the iteration outcome vs each drawn
-            # historical member into its score EMA. mean_reward ∈ [-1, 1]
-            # from the learner's perspective -> score ∈ [0, 1]. (With
-            # mixed-opponent batches the aggregate is attributed to every
-            # drawn member — a documented approximation.)
+            # historical member into its score EMA. Rewards ∈ [-1, 1] from
+            # the learner's perspective -> score ∈ [0, 1]. With
+            # mixed-opponent batches (opponents_per_iteration > 1) the env
+            # batch is split into K opponent blocks and the rollout reports
+            # per-block episode rewards (PPOConfig.fin_blocks), so each
+            # drawn member is scored on ITS block's outcome only; blocks
+            # that finished no episode record nothing.
             if matchmaking and drawn_ids:
-                iteration_score = (metrics.mean_reward + 1.0) / 2.0
-                for entry_id in drawn_ids:
-                    pool.record_result(entry_id, iteration_score)
+                if block_ids is not None and metrics.block_rewards is not None:
+                    for entry_id, br in zip(block_ids, metrics.block_rewards):
+                        if entry_id is not None and br is not None:
+                            pool.record_result(entry_id, (br + 1.0) / 2.0)
+                else:
+                    iteration_score = (metrics.mean_reward + 1.0) / 2.0
+                    for entry_id in drawn_ids:
+                        pool.record_result(entry_id, iteration_score)
 
             current_lr = float(
                 lr_schedule((i + 1) * learner.config.updates_per_iteration - 1)
@@ -716,6 +775,13 @@ def main(argv=None) -> None:
         help="also log 16-bin parameter histograms at the watch cadence",
     )
     parser.add_argument(
+        "--zero-opt",
+        action="store_true",
+        help="ZeRO-1 sharded learner: optimizer moments + step sharded "
+        "over the env mesh axis (reduce-scatter grads / all-gather "
+        "updates — parallel/zero.py); needs a >1-device mesh",
+    )
+    parser.add_argument(
         "--multihost",
         action="store_true",
         help="initialize jax.distributed (TPU pods autodetect; manual "
@@ -755,6 +821,8 @@ def main(argv=None) -> None:
         config["watch_interval"] = args.watch_interval
     if args.watch_histograms:
         config["watch_histograms"] = True
+    if args.zero_opt:
+        config["zero_sharded_optimizer"] = True
     if args.multihost:
         if not args.run_name:
             parser.error(

@@ -55,6 +55,66 @@ def test_pfsp_hard_prefers_unbeaten_members():
     assert draws.count("nemesis") > 250
 
 
+def test_train_mnk_league_per_block_attribution(tmp_path, monkeypatch):
+    """Mixed-opponent league iterations (opponents_per_iteration > 1)
+    attribute each env block's OWN outcome to its pool member: record_result
+    receives per-block scores (PPOConfig.fin_blocks plumbing), never one
+    aggregate folded into every drawn member, and blocks played by the
+    current agent record nothing."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.selfplay.league import League
+    from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    calls = []
+    orig = League.record_result
+
+    def spy(self, entry_id, score):
+        calls.append((entry_id, score))
+        return orig(self, entry_id, score)
+
+    monkeypatch.setattr(League, "record_result", spy)
+
+    config = get_default_config()
+    config.update(
+        mnk=(3, 3, 3),
+        num_envs=16,
+        n_steps=8,
+        batch_size=32,
+        ppo_epochs=1,
+        total_environment_steps=16 * 8 * 30,
+        validation_interval=100,
+        lr_warmup_steps=0,
+        architecture_name="cnn_b_s",
+        opponent_pool=3,
+        use_mesh=False,
+        entropy_coef_schedule=None,
+        matchmaking="pfsp_even",
+        opponents_per_iteration=2,
+        seed=0,
+    )
+    logger = MetricsLogger(
+        run_name="lgblk", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    )
+    train_mnk(config, logger)
+    logger.finish()
+    lines = [json.loads(ln) for ln in open(tmp_path / "runs" / "lgblk.jsonl")]
+    assert not any(k.startswith("error/") for rec in lines for k in rec)
+
+    # With seed 0 the 15%-per-block draw schedule hits historical members
+    # within 30 iterations x 2 blocks (deterministic: host_rng drives it).
+    assert calls, "no historical opponent drawn — seed/schedule changed?"
+    for _, score in calls:
+        assert 0.0 <= score <= 1.0
+    # Per-block attribution: scores are per-block episode means of {-1,0,1}
+    # rewards over <= n_steps-worth of episodes, so distinct blocks in the
+    # same iteration can and do record distinct scores; with the aggregate
+    # fold they would all be identical whenever 2 members are drawn
+    # together. Assert at least two different recorded scores overall.
+    assert len({round(s, 9) for _, s in calls}) > 1
+
+
 def test_train_mnk_league_micro(tmp_path, monkeypatch):
     """Full train loop with pfsp_even matchmaking + checkpoint/resume of
     league state."""

@@ -307,6 +307,83 @@ def test_episode_stats_carry_across_learn_calls():
     assert carried.max() > 0
 
 
+def test_fin_blocks_per_block_accounting():
+    """PPOConfig.fin_blocks: the rollout's per-block finished-episode
+    accounting is exact — the (K,) fin vectors match a numpy replay of the
+    trajectory's reward/done stream reduced over contiguous env blocks, the
+    blocks sum to the scalar-fin twin's aggregates bit-for-bit, and the
+    learner surfaces per-block mean rewards (the league's per-member
+    attribution signal)."""
+    from rl_selfplay_mnk_tpu.alg.ppo import rollout
+    from rl_selfplay_mnk_tpu.selfplay.wrapper import selfplay_reset
+
+    env_cfg = EnvConfig(3, 3, 3)
+    module = TinyMLP(action_dim=9)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 3, 3))))
+    variables.setdefault("batch_stats", {})
+    e, t, k = 16, 12, 4
+    rp = RandomPolicy()
+
+    def run(fin_blocks):
+        config = PPOConfig(
+            env=env_cfg, num_envs=e, n_steps=t, batch_size=48,
+            fin_blocks=fin_blocks,
+        )
+        state, obs = jax.jit(
+            selfplay_reset, static_argnames=("cfg", "opponent_apply", "num_envs")
+        )(env_cfg, rp.apply, None, e, jax.random.PRNGKey(5))
+        _, _, _, traj, fin, _, _ = rollout(
+            module, config, rp.apply, variables["params"],
+            variables["batch_stats"], None, state, obs,
+            jnp.zeros((e,), jnp.float32), jnp.zeros((e,), jnp.float32),
+            jax.random.PRNGKey(6),
+        )
+        return jax.device_get(fin), jax.device_get(traj)
+
+    fin_blk, traj = run(k)
+    fin_scalar, traj_scalar = run(0)
+
+    # identical trajectories (fin reduction is the only program difference)
+    for a, b in zip(jax.tree.leaves(traj), jax.tree.leaves(traj_scalar)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # numpy oracle: replay the episode accumulators per env, reduce per block
+    rewards, dones = np.asarray(traj["rewards"]), np.asarray(traj["dones"])
+    ep_rew = np.zeros(e)
+    ep_len = np.zeros(e)
+    want = [np.zeros(e) for _ in range(3)]
+    for step in range(t):
+        ep_rew += rewards[step]
+        ep_len += 1.0
+        d = dones[step].astype(np.float64)
+        want[0] += ep_rew * d
+        want[1] += ep_len * d
+        want[2] += d
+        ep_rew *= 1.0 - d
+        ep_len *= 1.0 - d
+    for got, per_env, scalar in zip(fin_blk, want, fin_scalar):
+        assert got.shape == (k,)
+        np.testing.assert_allclose(got, per_env.reshape(k, -1).sum(1), rtol=1e-6)
+        np.testing.assert_allclose(got.sum(), scalar, rtol=1e-6)
+    assert fin_blk[2].sum() > 0  # some episodes actually finished
+
+    # learner surface: block_rewards populated, aggregate unchanged
+    learner_blk, _, _ = _make_learner(
+        seed=3, num_envs=e, n_steps=t, batch_size=48, fin_blocks=k
+    )
+    learner_ref, _, _ = _make_learner(
+        seed=3, num_envs=e, n_steps=t, batch_size=48
+    )
+    m_blk = learner_blk.learn(rp.apply, rp.params, entropy_coef=0.01)
+    m_ref = learner_ref.learn(rp.apply, rp.params, entropy_coef=0.01)
+    assert m_ref.block_rewards is None
+    assert m_blk.block_rewards is not None and len(m_blk.block_rewards) == k
+    assert m_blk.mean_reward == m_ref.mean_reward
+    assert m_blk.mean_length == m_ref.mean_length
+    for br in m_blk.block_rewards:
+        assert br is None or -1.0 <= br <= 1.0
+
+
 def test_recover_restores_state_after_buffer_invalidation():
     """PPOLearner.recover(): a failed dispatch that consumed donated buffers
     must not leave the log-and-continue training loop permanently broken."""
