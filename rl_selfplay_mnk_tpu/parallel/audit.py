@@ -14,14 +14,18 @@ from __future__ import annotations
 import re
 
 # Matches sync collectives AND the async forms XLA may rewrite them into
-# (`x-start`/`x-done` pairs), with or without a ROOT prefix. For async
+# (`x-start`/`x-done` pairs), with or without a ROOT prefix. Keyed on the
+# OP NAME after the result type, not the SSA variable name: GSPMD names
+# variables after the op (`%all-reduce.1 = ...`), but shard_map-lowered
+# collectives get underscore names (`%reduce_scatter.7 = f32[2] reduce-
+# scatter(...)`) that a variable-name match silently misses. For async
 # pairs only the `-done` line is counted: its result type equals the sync
 # op's (the `-start` yields an implementation tuple), so one async
 # collective contributes exactly one inventory entry with the same
 # (kind, type) the sync form would.
 _COLLECTIVE_DEF = re.compile(
-    r"(?:ROOT )?%(all-reduce|all-gather|all-to-all|collective-permute|"
-    r"reduce-scatter)(-start|-done)?[.\d]* = ((?:\([^)]*\))|(?:\S+)) "
+    r"(?:ROOT )?%\S+ = ((?:\([^)]*\))|(?:\S+)) (all-reduce|all-gather|"
+    r"all-to-all|collective-permute|reduce-scatter)(-start|-done)?\("
 )
 
 
@@ -32,8 +36,8 @@ def collective_defs(hlo_text: str) -> list:
     out = []
     for line in hlo_text.splitlines():
         m = _COLLECTIVE_DEF.match(line.strip())
-        if m and m.group(2) != "-start":
-            out.append((m.group(1), m.group(3)))
+        if m and m.group(3) != "-start":
+            out.append((m.group(2), m.group(1)))
     return out
 
 
