@@ -36,12 +36,19 @@ class DevicePool(NamedTuple):
     next_idx: () int32 — ring insertion slot
     weights:  (max_size,) float32 — sampling weights (all-ones = uniform,
               the reference behavior; hook for weighted sampling extensions)
+    scores:   (max_size,) float32 — per-slot EMA of the learner's score vs
+              that member (League.score_ema twin; 0.5 = even-match prior) —
+              drives device-side PFSP matchmaking (pool_sample_league)
+    games:    (max_size,) float32 — per-slot recorded-result count
+              (League.games twin; diagnostics/tests)
     """
 
     stacked: Any
     size: jax.Array
     next_idx: jax.Array
     weights: jax.Array
+    scores: jax.Array
+    games: jax.Array
 
     @property
     def max_size(self) -> int:
@@ -59,13 +66,29 @@ def pool_init(template: Any, max_size: int) -> DevicePool:
         size=jnp.zeros((), jnp.int32),
         next_idx=jnp.zeros((), jnp.int32),
         weights=jnp.ones((max_size,), jnp.float32),
+        scores=jnp.full((max_size,), 0.5, jnp.float32),
+        games=jnp.zeros((max_size,), jnp.float32),
     )
 
 
-def pool_add(pool: DevicePool, params: Any, weight: float = 1.0) -> DevicePool:
-    """FIFO insert: overwrite the oldest slot once full (deque maxlen
-    semantics, reference :8,10-11)."""
-    idx = pool.next_idx
+def _insert_slot(pool: DevicePool, eviction: str) -> jax.Array:
+    """Slot for the next insert. FIFO: the ring pointer (deque maxlen
+    semantics, reference :8). Adaptive (extension, OpponentPool parity):
+    once full, overwrite the LOWEST-WEIGHT member instead of the oldest."""
+    if eviction == "adaptive":
+        full = pool.size >= pool.max_size
+        return jnp.where(full, jnp.argmin(pool.weights).astype(jnp.int32),
+                         pool.next_idx)
+    return pool.next_idx
+
+
+def pool_add(
+    pool: DevicePool, params: Any, weight: float = 1.0, eviction: str = "fifo"
+) -> DevicePool:
+    """Insert: overwrite the eviction slot once full (FIFO by default —
+    deque maxlen semantics, reference :8,10-11). Fresh members start at the
+    even-match score prior (League.add_opponent parity)."""
+    idx = _insert_slot(pool, eviction)
     stacked = jax.tree.map(
         lambda s, p: s.at[idx].set(jnp.asarray(p, s.dtype)), pool.stacked, params
     )
@@ -75,17 +98,23 @@ def pool_add(pool: DevicePool, params: Any, weight: float = 1.0) -> DevicePool:
         size=jnp.minimum(pool.size + 1, max_size),
         next_idx=(pool.next_idx + 1) % max_size,
         weights=pool.weights.at[idx].set(weight),
+        scores=pool.scores.at[idx].set(0.5),
+        games=pool.games.at[idx].set(0.0),
     )
 
 
 def pool_add_if(
-    pool: DevicePool, params: Any, weight: jax.Array, do_insert: jax.Array
+    pool: DevicePool,
+    params: Any,
+    weight: jax.Array,
+    do_insert: jax.Array,
+    eviction: str = "fifo",
 ) -> DevicePool:
     """``pool_add`` under a traced predicate, for compiled loops with an
     insertion cadence (alg/fused.py). Selects at the single written slot
     instead of a dense pytree-wide ``where`` over all ``max_size`` stacked
     entries — one slot of traffic per iteration instead of the whole pool."""
-    idx = pool.next_idx
+    idx = _insert_slot(pool, eviction)
     stacked = jax.tree.map(
         lambda s, p: s.at[idx].set(
             jnp.where(do_insert, jnp.asarray(p, s.dtype), s[idx])
@@ -101,6 +130,12 @@ def pool_add_if(
         weights=pool.weights.at[idx].set(
             jnp.where(do_insert, weight, pool.weights[idx])
         ),
+        scores=pool.scores.at[idx].set(
+            jnp.where(do_insert, 0.5, pool.scores[idx])
+        ),
+        games=pool.games.at[idx].set(
+            jnp.where(do_insert, 0.0, pool.games[idx])
+        ),
     )
 
 
@@ -114,6 +149,62 @@ def pool_sample(pool: DevicePool, rng: jax.Array) -> Any:
     logits = jnp.where(pool.size > 0, logits, jnp.zeros_like(logits))
     idx = jax.random.categorical(rng, logits)
     return jax.tree.map(lambda s: s[idx], pool.stacked)
+
+
+def pfsp_slot_weights(
+    scores: jax.Array, mode: str, power: float = 2.0
+) -> jax.Array:
+    """Device twin of ``selfplay.league.pfsp_weight`` (same formulas, same
+    1e-3 floor), vectorized over the slot axis."""
+    s = jnp.clip(scores, 0.0, 1.0)
+    if mode == "pfsp_hard":
+        w = (1.0 - s) ** power
+    elif mode == "pfsp_even":
+        w = (4.0 * s * (1.0 - s)) ** power
+    elif mode == "uniform":
+        w = jnp.ones_like(s)
+    else:
+        raise ValueError(f"unknown matchmaking mode {mode!r}")
+    return jnp.maximum(w, 1e-3)
+
+
+def pool_sample_league(
+    pool: DevicePool, rng: jax.Array, mode: str, power: float = 2.0
+):
+    """PFSP draw over valid slots: p ∝ pfsp_weight(score_ema) — the device
+    twin of ``League.get_opponent``. Returns ``(slot_idx, params)`` so the
+    caller can fold the iteration's outcome back into that slot's EMA
+    (``pool_record_result_if``)."""
+    slot_ids = jnp.arange(pool.max_size)
+    valid = slot_ids < pool.size
+    w = pfsp_slot_weights(pool.scores, mode, power)
+    logits = jnp.where(valid, jnp.log(w), -jnp.inf)
+    logits = jnp.where(pool.size > 0, logits, jnp.zeros_like(logits))
+    idx = jax.random.categorical(rng, logits)
+    return idx, jax.tree.map(lambda s: s[idx], pool.stacked)
+
+
+def pool_record_result_if(
+    pool: DevicePool,
+    idx: jax.Array,
+    score: jax.Array,
+    do_record: jax.Array,
+    ema: float = 0.3,
+) -> DevicePool:
+    """Fold one outcome (learner score ∈ [0,1] vs slot ``idx``) into that
+    slot's EMA under a traced predicate — ``League.record_result`` inside a
+    compiled program. Non-finite scores record nothing (League parity)."""
+    score = jnp.clip(score, 0.0, 1.0)
+    ok = do_record & jnp.isfinite(score)
+    new_score = (1.0 - ema) * pool.scores[idx] + ema * score
+    return pool._replace(
+        scores=pool.scores.at[idx].set(
+            jnp.where(ok, new_score, pool.scores[idx])
+        ),
+        games=pool.games.at[idx].set(
+            jnp.where(ok, pool.games[idx] + 1.0, pool.games[idx])
+        ),
+    )
 
 
 class OpponentPool:

@@ -29,9 +29,14 @@ parity breaks — the parity path remains ``train.train_mnk``):
   * chunked update dispatch (``update_chunks``) is honored by the "step"
     dispatch mode (auto-selected when chunking is requested) — only an
     explicit ``fused_dispatch='scan'`` conflicts with it;
-  * league/PFSP matchmaking and mixed-opponent batches are NOT supported
-    here — the driver rejects those configs up front; use the host-loop
-    driver (train.train_mnk) for them.
+  * league/PFSP matchmaking runs DEVICE-SIDE (per-slot score EMAs in the
+    DevicePool; PFSP draws and result records inside the compiled
+    iteration) with the same weight formulas/prior/EMA as the host
+    League — the draw stream uses device RNG, so it matches the host loop
+    in semantics, not draw-for-draw;
+  * mixed-opponent batches (opponents_per_iteration > 1) are NOT supported
+    here — the driver rejects that config up front; use the host-loop
+    driver (train.train_mnk) for it.
 """
 
 from __future__ import annotations
@@ -137,12 +142,21 @@ def train_mnk_fused(
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
-    if config.get("matchmaking"):
-        raise ValueError(
-            "fused training does not implement league/PFSP matchmaking "
-            f"({config['matchmaking']!r}): the device pool samples "
-            "uniformly/weighted only. Drop --fused or --matchmaking."
-        )
+    # League/PFSP matchmaking runs DEVICE-SIDE here: per-slot score EMAs in
+    # the DevicePool, PFSP draws and result records inside the compiled
+    # iteration (alg/fused.py + selfplay/opponent_pool.py — the League twin
+    # with the same weight formulas, prior and EMA factor).
+    matchmaking = config.get("matchmaking") or None
+    pfsp_power = float(config.get("pfsp_power", 2.0))
+    league_ema = float(config.get("league_ema", 0.3))
+    if matchmaking:
+        from .selfplay.league import MATCHMAKING_MODES
+
+        if matchmaking not in MATCHMAKING_MODES:
+            raise ValueError(
+                f"unknown matchmaking mode {matchmaking!r}; choose from "
+                f"{MATCHMAKING_MODES}"
+            )
     if config.get("opponents_per_iteration", 1) > 1:
         raise ValueError(
             "fused training does not implement mixed-opponent batches "
@@ -319,6 +333,7 @@ def train_mnk_fused(
                         module, learner.config, learner.optimizer,
                         policy_act, entropy_fn, POOL_PROB,
                         POOL_INSERT_INTERVAL, carry, i + j, insert_w,
+                        matchmaking, pfsp_power, league_ema,
                     )
                     outs.append(m)  # futures — one batched fetch below
                 outs_host = jax.device_get(outs)
@@ -347,6 +362,9 @@ def train_mnk_fused(
                     k_block,
                     jnp.int32(i),
                     insert_w,
+                    matchmaking,
+                    pfsp_power,
+                    league_ema,
                 )
                 stacked_host = jax.device_get(stacked)
             (

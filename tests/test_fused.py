@@ -484,3 +484,198 @@ def test_fused_resume_is_bit_exact(tmp_path, monkeypatch):
     assert len(flat_a) == len(flat_b)
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_device_league_mirrors_host_league_semantics():
+    """DevicePool league ops are the exact device twin of selfplay/league.py
+    on a scripted sequence: same even-match prior on insert, same pfsp
+    weight formulas (incl. the 1e-3 floor), same EMA fold on record, FIFO
+    roster parity, and score-prior reset when a slot is overwritten."""
+    from rl_selfplay_mnk_tpu.selfplay.league import League, pfsp_weight
+    from rl_selfplay_mnk_tpu.selfplay.opponent_pool import (
+        pfsp_slot_weights,
+        pool_add,
+        pool_init,
+        pool_record_result_if,
+        pool_sample_league,
+    )
+
+    # weight formula parity across the modes and the score range
+    scores = np.linspace(-0.2, 1.2, 17)
+    for mode in ("uniform", "pfsp_hard", "pfsp_even"):
+        dev = np.asarray(pfsp_slot_weights(jnp.asarray(scores, jnp.float32), mode))
+        host = [pfsp_weight(float(s), mode) for s in scores]
+        np.testing.assert_allclose(dev, host, rtol=1e-6)
+
+    # scripted roster: insert A, B; record results; EMA parity with League
+    league = League(max_size=2, mode="pfsp_hard", ema=0.3, seed=0)
+    a = league.add_opponent("A")
+    b = league.add_opponent("B")
+    template = {"x": jnp.zeros((2,))}
+    pool = pool_init(template, max_size=2)
+    pool = pool_add(pool, {"x": jnp.ones((2,))})       # slot 0 = A
+    pool = pool_add(pool, {"x": jnp.full((2,), 2.0)})  # slot 1 = B
+    for entry_id, slot, score in [(a, 0, 1.0), (b, 1, 0.0), (a, 0, 0.25)]:
+        league.record_result(entry_id, score)
+        pool = pool_record_result_if(
+            pool, jnp.int32(slot), jnp.float32(score), jnp.bool_(True),
+            ema=0.3,
+        )
+    host_scores = {e.entry_id: e.score_ema for e in league.entries}
+    np.testing.assert_allclose(float(pool.scores[0]), host_scores[a], rtol=1e-6)
+    np.testing.assert_allclose(float(pool.scores[1]), host_scores[b], rtol=1e-6)
+    assert float(pool.games[0]) == 2.0 and float(pool.games[1]) == 1.0
+
+    # masked record is an identity; non-finite scores record nothing
+    before = np.asarray(pool.scores)
+    pool = pool_record_result_if(
+        pool, jnp.int32(0), jnp.float32(0.9), jnp.bool_(False), ema=0.3
+    )
+    pool = pool_record_result_if(
+        pool, jnp.int32(0), jnp.float32(np.nan), jnp.bool_(True), ema=0.3
+    )
+    np.testing.assert_array_equal(np.asarray(pool.scores), before)
+
+    # FIFO overwrite resets the slot to the even-match prior (League parity:
+    # a fresh snapshot's strength vs the CURRENT learner is unknown)
+    pool = pool_add(pool, {"x": jnp.full((2,), 3.0)})  # overwrites slot 0
+    assert float(pool.scores[0]) == 0.5 and float(pool.games[0]) == 0.0
+
+    # pfsp_hard sampling prefers the member the learner loses to
+    pool = pool_record_result_if(
+        pool, jnp.int32(0), jnp.float32(1.0), jnp.bool_(True), ema=1.0
+    )  # slot 0: always beaten
+    pool = pool_record_result_if(
+        pool, jnp.int32(1), jnp.float32(0.0), jnp.bool_(True), ema=1.0
+    )  # slot 1: nemesis
+    draws = [
+        int(pool_sample_league(
+            pool, jax.random.PRNGKey(i), "pfsp_hard", 2.0
+        )[0])
+        for i in range(200)
+    ]
+    assert draws.count(1) > 170
+
+
+def test_device_pool_adaptive_eviction():
+    """pool_add(eviction='adaptive') overwrites the LOWEST-weight slot once
+    full (host OpponentPool(eviction='adaptive') parity) while FIFO keeps
+    ring order."""
+    from rl_selfplay_mnk_tpu.selfplay.opponent_pool import pool_add, pool_init
+
+    template = {"x": jnp.zeros(())}
+    pool = pool_init(template, max_size=2)
+    pool = pool_add(pool, {"x": jnp.float32(1.0)}, weight=0.9,
+                    eviction="adaptive")
+    pool = pool_add(pool, {"x": jnp.float32(2.0)}, weight=0.1,
+                    eviction="adaptive")
+    # full: next adaptive insert must evict slot 1 (weight 0.1), not slot 0
+    pool = pool_add(pool, {"x": jnp.float32(3.0)}, weight=0.5,
+                    eviction="adaptive")
+    assert float(pool.stacked["x"][0]) == 1.0
+    assert float(pool.stacked["x"][1]) == 3.0
+    np.testing.assert_allclose(np.asarray(pool.weights), [0.9, 0.5])
+
+
+def test_fused_league_step_matches_scanned_block_bitwise():
+    """--fused --matchmaking: the scanned block and the step dispatch run
+    the SAME league math (PFSP draw from score EMAs, in-program result
+    record, record-then-insert order) — bit-identical carries, metrics, and
+    pool score/game state."""
+    from rl_selfplay_mnk_tpu.alg.fused import train_block, train_step_iteration
+
+    (
+        module, config, optimizer, policy_act, variables, opt_state,
+        sp_state, obs,
+    ) = _setup()
+    entropy_fn = make_entropy_coef_fn(0.04, ENT_SCHEDULE, 8, 8)
+    block_len = 4
+    mm = ("pfsp_hard", 2.0, 0.3)
+
+    def fresh_carry():
+        pool = pool_init(variables, max_size=3)
+        pool = pool_add(pool, variables, 1.0)
+        ep0 = jnp.zeros((config.num_envs,), jnp.float32)
+        ep1 = jnp.zeros((config.num_envs,), jnp.float32)
+        return jax.tree.map(
+            jnp.copy,
+            (variables["params"], variables["batch_stats"], opt_state, pool,
+             sp_state, obs, ep0, ep1, jax.random.PRNGKey(2)),
+        )
+
+    carry = fresh_carry()
+    carry_scan, stacked = train_block(
+        module, config, optimizer, policy_act, entropy_fn,
+        block_len, 0.9, 2, *carry, jnp.int32(0), jnp.float32(1.0), *mm,
+    )
+
+    carry_step = fresh_carry()
+    outs = []
+    for i in range(block_len):
+        carry_step, m = train_step_iteration(
+            module, config, optimizer, policy_act, entropy_fn, 0.9, 2,
+            carry_step, i, jnp.float32(1.0), *mm,
+        )
+        outs.append(m)
+
+    for a, b in zip(jax.tree.leaves(carry_scan), jax.tree.leaves(carry_step)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for key in stacked:
+        step_vals = np.asarray([np.asarray(m[key]) for m in outs])
+        np.testing.assert_array_equal(np.asarray(stacked[key]), step_vals, err_msg=key)
+
+    # with pool_prob 0.9 and 4 iterations, historical draws actually
+    # happened and recorded results into score EMAs
+    pool_after = carry_scan[3]
+    assert float(pool_after.games.sum()) > 0
+    assert not np.allclose(np.asarray(pool_after.scores), 0.5)
+
+
+def test_train_mnk_fused_league_micro_end_to_end(tmp_path, monkeypatch):
+    """--fused --matchmaking pfsp_hard end-to-end: the driver accepts the
+    config (it used to reject it), trains with no error records, validates,
+    exports, and the run completes under both dispatch modes."""
+    monkeypatch.chdir(tmp_path)
+    from rl_selfplay_mnk_tpu.train import get_default_config
+    from rl_selfplay_mnk_tpu.train_fused import train_mnk_fused
+    from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    for dispatch, name in (("scan", "flg_scan"), ("step", "flg_step")):
+        config = get_default_config()
+        config.update(
+            mnk=(3, 3, 3),
+            num_envs=8,
+            n_steps=8,
+            batch_size=32,
+            ppo_epochs=1,
+            total_environment_steps=8 * 8 * 4,
+            validation_interval=2,
+            validation_episodes=16,
+            lr_warmup_steps=0,
+            architecture_name="cnn_b_s",
+            opponent_pool=2,
+            use_mesh=False,
+            entropy_coef_schedule=None,
+            matchmaking="pfsp_hard",
+            fused_dispatch=dispatch,
+        )
+        logger = MetricsLogger(
+            run_name=name, config=config, out_dir=str(tmp_path / "runs"),
+            use_wandb=False,
+        )
+        train_mnk_fused(config, logger)
+        logger.finish()
+        lines = [json.loads(ln) for ln in open(tmp_path / "runs" / f"{name}.jsonl")]
+        keys = {k for rec in lines for k in rec}
+        assert "training/mean_reward" in keys
+        assert not any(k.startswith("error/") for k in keys)
+        assert "model_00004.msgpack" in os.listdir(tmp_path / "models" / name)
+
+    # unknown mode is still rejected up front
+    config["matchmaking"] = "nope"
+    with MetricsLogger(
+        run_name="flg_bad", config=config, out_dir=str(tmp_path / "runs"),
+        use_wandb=False,
+    ) as logger_bad:
+        with pytest.raises(ValueError, match="matchmaking"):
+            train_mnk_fused(config, logger_bad)
