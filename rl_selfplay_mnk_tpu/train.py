@@ -193,6 +193,10 @@ def create_learner(config: Dict[str, Any], hw, mesh=None):
         # Full ZeRO epoch path: ELEMENTWISE inner optimizer only — the
         # global-norm clip runs in-body on the gradient shard with a scalar
         # psum (alg/zero_epochs.py; PPOConfig.zero_clip_norm = 0.5).
+        print(
+            f"ZeRO sharded learner engaged: moments sharded over "
+            f"{num_devices} devices (reduce-scatter/all-gather epoch path)"
+        )
         optimizer = optax.adamw(lr_schedule, eps=1e-5, weight_decay=0.01)
     else:
         if zero_requested:

@@ -40,7 +40,7 @@ def _free_port() -> int:
 
 def _launch(workdir, run_name, num_processes, devices_per_proc, iters,
             checkpoint_interval=0, resume=False, timeout=600, fused=False,
-            checkpoint_dir=None):
+            checkpoint_dir=None, preset=None):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -68,6 +68,8 @@ def _launch(workdir, run_name, num_processes, devices_per_proc, iters,
             cmd.append("--fused")
         if checkpoint_dir:
             cmd.extend(["--checkpoint-dir", str(checkpoint_dir)])
+        if preset:
+            cmd.extend(["--preset", preset])
         procs.append(
             subprocess.Popen(
                 cmd, env=env, cwd=str(workdir),
@@ -277,3 +279,31 @@ def test_topology_change_resume(tmp_path):
                 err_msg=f"leaf {k1} diverged resuming {run} from the "
                         "2-process checkpoint",
             )
+
+
+@pytest.mark.slow
+def test_config5_shape_two_processes(tmp_path):
+    """BASELINE configs[4] SHAPE, executed for real (VERDICT r3 item 1c):
+    13x13x5 at 32k envs over 2 real processes x 4 devices (gloo), recipe
+    minibatch 4096 with the grouped shuffle, and the ZeRO sharded learner
+    (reduce-scatter/all-gather collectives) engaged — two full iterations
+    plus a validation/promotion pass. A 2-core-budget conv body stands in
+    for the recipe network: the production shape surface under test is the
+    env axis, board, minibatch and group math, not the FLOPs."""
+    iters = 2
+    outs = _launch(tmp_path, "cfg5", num_processes=2, devices_per_proc=4,
+                   iters=iters, preset="config5", timeout=1500)
+    # the sharded learner actually engaged (train.py prints this only on
+    # the full ZeRO epoch path — devices>1 + grouped + batch-stat-free)
+    assert "ZeRO sharded learner engaged" in outs[0]
+    assert "Iter " in outs[0] and "Iter " not in outs[1]
+
+    rewards = [r for r in _metric_lines(tmp_path, "cfg5")
+               if "training/mean_reward" in r]
+    assert len(rewards) == iters
+    for r in rewards:
+        assert np.isfinite(r["training/actor_loss"])
+        assert np.isfinite(r["training/mean_reward"])
+    # per-iteration env-step accounting at the 32k shape
+    assert rewards[0]["_step"] == 32768 * 4
+    assert rewards[-1]["_step"] == 32768 * 4 * iters
