@@ -68,6 +68,7 @@ def _select(pred: jax.Array, a: Any, b: Any) -> Any:
         "matchmaking",
         "pfsp_power",
         "league_ema",
+        "eviction",
     ),
     # params/batch_stats are deliberately NOT donated (same rule as the
     # host-path update): they are the only state a failed block cannot
@@ -106,6 +107,7 @@ def train_block(
     matchmaking: str = None,
     pfsp_power: float = 2.0,
     league_ema: float = 0.3,
+    eviction: str = "fifo",
 ):
     """Run iterations [iteration0, iteration0 + block_len) on device.
 
@@ -131,13 +133,28 @@ def train_block(
     the update diagnostics plus ``entropy_coef``, ``historical_opponent``
     and the finished-episode sums (``fin_reward/fin_length/fin_count``)
     from which the host derives mean_reward/mean_length per iteration.
+
+    ``eviction`` ("fifo" | "adaptive") selects the pool-insert slot policy,
+    matching the host loop's ``pool_eviction`` config (train.py:335 /
+    opponent_pool._insert_slot).
     """
+    if config.zero_update:
+        # The scanned block is ONE compiled program; the ZeRO epoch path
+        # (alg/zero_epochs.py) is a host-dispatched prepare + shard_map
+        # chunk schedule and cannot run inside this scan body. The step
+        # dispatch (train_step_iteration) composes with it — never fall
+        # back to the replicated update silently.
+        raise ValueError(
+            "train_block (scanned fused dispatch) cannot run the ZeRO "
+            "sharded learner (PPOConfig.zero_update): use the 'step' "
+            "dispatch (train_step_iteration / fused_dispatch='step')"
+        )
 
     def body(carry, i):
         return _iteration_impl(
             module, config, optimizer, opponent_apply, entropy_fn,
             pool_prob, insert_interval, carry, iteration0 + i, insert_weight,
-            matchmaking, pfsp_power, league_ema,
+            matchmaking, pfsp_power, league_ema, eviction,
         )
 
     carry = (
@@ -153,7 +170,7 @@ def train_block(
 def _iteration_impl(
     module, config, optimizer, opponent_apply, entropy_fn,
     pool_prob, insert_interval, carry, it, insert_weight,
-    matchmaking=None, pfsp_power=2.0, league_ema=0.3,
+    matchmaking=None, pfsp_power=2.0, league_ema=0.3, eviction="fifo",
 ):
     """One whole device-resident iteration: opponent draw -> rollout ->
     update -> league result record -> masked pool insert. Shared by the
@@ -227,6 +244,7 @@ def _iteration_impl(
         {"params": params, "batch_stats": batch_stats},
         insert_weight,
         do_insert,
+        eviction,
     )
 
     out = dict(metrics)
@@ -282,7 +300,9 @@ def _draw_program(
     return rng, k_roll, k_upd, opponent, historical, drawn_idx, entropy_fn(it)
 
 
-_pool_insert = jax.jit(pool_add_if, donate_argnames=("pool",))
+_pool_insert = jax.jit(
+    pool_add_if, donate_argnames=("pool",), static_argnames=("eviction",)
+)
 _pool_record = jax.jit(
     pool_record_result_if, donate_argnames=("pool",), static_argnames=("ema",)
 )
@@ -291,7 +311,8 @@ _pool_record = jax.jit(
 def train_step_iteration(
     module, config, optimizer, opponent_apply, entropy_fn,
     pool_prob, insert_interval, carry, it: int, insert_weight,
-    matchmaking=None, pfsp_power=2.0, league_ema=0.3,
+    matchmaking=None, pfsp_power=2.0, league_ema=0.3, eviction="fifo",
+    mesh=None,
 ):
     """One fused-driver iteration as host-dispatched standalone programs.
 
@@ -308,8 +329,20 @@ def train_step_iteration(
     the shared ``update_chunked`` (prepare + epoch-chunk programs, math
     bit-identical to the monolithic ``update``) — this is what lets the
     5-layer transformers, whose monolithic update exceeds RPC execution
-    deadlines, run fused at all (round-2 VERDICT item 3)."""
+    deadlines, run fused at all (round-2 VERDICT item 3).
+
+    With ``config.zero_update`` the update phase routes through the ZeRO
+    collective epoch schedule (``zero_epochs.zero_update_chunked``) over
+    ``mesh`` — the two pod-shaped features (fused dispatch, sharded
+    learner) compose here; passing ``zero_update`` without a mesh is a
+    loud error, never a silent replicated fallback."""
     from .ppo import rollout, update_chunked
+
+    if config.zero_update and mesh is None:
+        raise ValueError(
+            "train_step_iteration: PPOConfig.zero_update needs the device "
+            "mesh the learner was built with (pass mesh=learner.mesh)"
+        )
 
     (
         params, batch_stats, opt_state, pool, sp_state, obs,
@@ -328,10 +361,18 @@ def train_step_iteration(
     # Prepare+epochs dispatch even at update_chunks=1: bit-identical to the
     # monolithic program, and the prepare program's traj donation reclaims
     # the trajectory's HBM for the flats (see ppo.update_prepare).
-    params, batch_stats, opt_state, metrics = update_chunked(
-        module, config, optimizer, params, batch_stats, opt_state,
-        traj, obs, ent_coef, k_upd,
-    )
+    if config.zero_update:
+        from .zero_epochs import zero_update_chunked
+
+        params, batch_stats, opt_state, metrics = zero_update_chunked(
+            module, config, optimizer, mesh, params, batch_stats, opt_state,
+            traj, obs, ent_coef, k_upd,
+        )
+    else:
+        params, batch_stats, opt_state, metrics = update_chunked(
+            module, config, optimizer, params, batch_stats, opt_state,
+            traj, obs, ent_coef, k_upd,
+        )
     if matchmaking:
         mean_rew = jnp.where(
             fin[2] > 0, fin[0] / jnp.maximum(fin[2], 1.0), 0.0
@@ -343,7 +384,7 @@ def train_step_iteration(
     if it % insert_interval == 0:
         pool = _pool_insert(
             pool, {"params": params, "batch_stats": batch_stats},
-            insert_weight, jnp.bool_(True),
+            insert_weight, jnp.bool_(True), eviction=eviction,
         )
     out = dict(metrics)
     out["entropy_coef"] = ent_coef

@@ -296,6 +296,9 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
+    # Machine-checkable learner-mode marker (the "ZeRO sharded learner
+    # engaged" stdout line is prose; tests/tools assert on this key).
+    logger.log({"learner/zero_sharded": int(learner.config.zero_update)}, step=0)
     eval_apply, _ = make_apply_fns(module)
     policy_act = make_network_policy(eval_apply)
 

@@ -142,6 +142,8 @@ def train_mnk_fused(
     learner, module, env_cfg, arch_params, lr_schedule = create_learner(
         config, hw, mesh
     )
+    # Machine-checkable learner-mode marker (same key as train.train_mnk).
+    logger.log({"learner/zero_sharded": int(learner.config.zero_update)}, step=0)
     # League/PFSP matchmaking runs DEVICE-SIDE here: per-slot score EMAs in
     # the DevicePool, PFSP draws and result records inside the compiled
     # iteration (alg/fused.py + selfplay/opponent_pool.py — the League twin
@@ -161,6 +163,23 @@ def train_mnk_fused(
         raise ValueError(
             "fused training does not implement mixed-opponent batches "
             "(opponents_per_iteration > 1). Drop --fused or the option."
+        )
+    eviction = config.get("pool_eviction", "fifo")
+    if eviction not in ("fifo", "adaptive"):
+        raise ValueError(
+            f"unknown pool_eviction {eviction!r}; choose 'fifo' or 'adaptive'"
+        )
+    if (
+        learner.config.zero_update
+        and config.get("fused_dispatch", "auto") == "scan"
+    ):
+        # The scanned block cannot host the ZeRO shard_map epoch schedule
+        # (one program per block; alg/fused.train_block raises too). Only
+        # an explicit scan request conflicts — "auto" resolves to the step
+        # dispatch below, which routes through zero_update_chunked.
+        raise ValueError(
+            "fused_dispatch='scan' cannot run the ZeRO sharded learner "
+            "(zero_sharded_optimizer): use fused_dispatch='auto'/'step'"
         )
     if (
         learner.config.update_chunks > 1
@@ -283,7 +302,10 @@ def train_mnk_fused(
     # "auto" picks by per-iteration work (threshold from the ablation).
     dispatch = config.get("fused_dispatch", "auto")
     if dispatch == "auto":
-        if learner.config.update_chunks > 1:
+        if learner.config.zero_update:
+            # Only the step dispatch composes with the ZeRO epoch path.
+            dispatch = "step"
+        elif learner.config.update_chunks > 1:
             # Only the step dispatch can split the update into chunk
             # programs (the scan is one execution per block) — chunking is
             # requested exactly when single executions must stay short.
@@ -333,7 +355,8 @@ def train_mnk_fused(
                         module, learner.config, learner.optimizer,
                         policy_act, entropy_fn, POOL_PROB,
                         POOL_INSERT_INTERVAL, carry, i + j, insert_w,
-                        matchmaking, pfsp_power, league_ema,
+                        matchmaking, pfsp_power, league_ema, eviction,
+                        learner.mesh,
                     )
                     outs.append(m)  # futures — one batched fetch below
                 outs_host = jax.device_get(outs)
@@ -365,6 +388,7 @@ def train_mnk_fused(
                     matchmaking,
                     pfsp_power,
                     league_ema,
+                    eviction,
                 )
                 stacked_host = jax.device_get(stacked)
             (

@@ -293,9 +293,12 @@ def test_config5_shape_two_processes(tmp_path):
     iters = 2
     outs = _launch(tmp_path, "cfg5", num_processes=2, devices_per_proc=4,
                    iters=iters, preset="config5", timeout=1500)
-    # the sharded learner actually engaged (train.py prints this only on
-    # the full ZeRO epoch path — devices>1 + grouped + batch-stat-free)
-    assert "ZeRO sharded learner engaged" in outs[0]
+    # the sharded learner actually engaged (machine-checkable marker —
+    # train.py logs learner/zero_sharded=1 only on the full ZeRO epoch
+    # path: devices>1 + grouped + batch-stat-free)
+    zs = [r for r in _metric_lines(tmp_path, "cfg5")
+          if "learner/zero_sharded" in r]
+    assert zs and zs[0]["learner/zero_sharded"] == 1
     assert "Iter " in outs[0] and "Iter " not in outs[1]
 
     rewards = [r for r in _metric_lines(tmp_path, "cfg5")
