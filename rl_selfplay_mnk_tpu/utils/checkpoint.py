@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -37,6 +38,22 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
         options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def _abstract_like(template: Any) -> Any:
+    """Template -> abstract target: every jax.Array leaf becomes a
+    ShapeDtypeStruct carrying the TEMPLATE's sharding. Orbax then lays the
+    restore out for the resuming process's devices instead of consulting
+    the checkpoint's saved device shardings — which is what lets a
+    TPU-saved checkpoint restore in a CPU-only process (and generally any
+    cross-backend resume). Non-array leaves (ints, host RNG state) pass
+    through and restore by value as before."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if isinstance(x, jax.Array)
+        else x,
+        template,
     )
 
 
@@ -66,6 +83,43 @@ def restore_checkpoint(ckpt_dir: str, template: Any, step: Optional[int] = None)
     if step is None:
         mgr.close()
         return None, None
-    state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    state = mgr.restore(
+        step, args=ocp.args.StandardRestore(_abstract_like(template))
+    )
+    mgr.close()
+    return state, step
+
+
+def restore_checkpoint_portable(
+    ckpt_dir: str, step: Optional[int] = None, sharding=None
+):
+    """Template-FREE restore onto the local backend: the target pytree is
+    built from the checkpoint's own array metadata (shapes/dtypes), with
+    every array leaf placed on ``sharding`` (default: the first local
+    device). Use when the train-state template is unavailable or the
+    checkpoint was written on a different platform — e.g. inspecting a
+    TPU-saved run checkpoint from a CPU-only process (round-4 VERDICT
+    weakness 4; the documented RESUME.md failure mode). Returns
+    ``(state, step)`` or ``(None, None)`` when absent."""
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        item_handlers=ocp.StandardCheckpointHandler(),
+    )
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None, None
+    if sharding is None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    meta = mgr.item_metadata(step).tree
+
+    def to_abstract(m):
+        if getattr(m, "shape", None) is not None and hasattr(m, "dtype"):
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+        return m
+
+    abstract = jax.tree.map(to_abstract, meta)
+    state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     return state, step
