@@ -262,3 +262,19 @@ def test_shard_batched_ambiguous_pytree_raises():
     # homogeneous pytrees keep the convenient no-batch_size form
     homog = shard_batched({"a": jnp.zeros((16,)), "b": jnp.zeros((16, 2))}, mesh)
     assert homog["a"].sharding.spec == P("env")
+
+    # round-4 ADVICE: the single-dim form of the ambiguity — a divisible
+    # table next to a NON-divisible true batch must raise, not silently
+    # shard the table while replicating the batch
+    with pytest.raises(ValueError, match="batch_size"):
+        shard_batched(
+            {"batch": jnp.zeros((10, 3)), "table": jnp.zeros((8, 3))}, mesh
+        )
+    # nothing divisible at all: the call would be a silent no-op — raise
+    with pytest.raises(ValueError, match="divides"):
+        shard_batched({"batch": jnp.zeros((10, 3))}, mesh)
+    # round-4 ADVICE finding 2: a non-array tree LEAF (no .ndim until
+    # asarray — e.g. a range) must be seen by the guard exactly as
+    # placement sees it; it used to bypass the dims scan yet still shard
+    with pytest.raises(ValueError, match="batch_size"):
+        shard_batched({"batch": jnp.zeros((16, 3)), "r": range(8)}, mesh)

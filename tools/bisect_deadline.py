@@ -99,7 +99,8 @@ def main() -> None:
         "per_iter_ms": round(per_iter * 1e3, 3),
         "results": results,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # dirname is '' for a bare filename — fall back to cwd
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}", flush=True)

@@ -43,37 +43,45 @@ def main() -> None:
     args = ap.parse_args()
     run = args.run_name or f"full13_{args.arch}"
 
+    # Validate EVERY source before touching the previously committed
+    # evidence, and stage the whole package into a temp dir swapped in at
+    # the end — a failure mid-package must never leave the old
+    # continuation half-deleted (round-4 ADVICE finding 4).
     ckpts = sorted(
         glob.glob(f"checkpoints/{run}/*"), key=lambda p: int(os.path.basename(p))
     )
     assert ckpts, f"no checkpoints under checkpoints/{run}"
+    src_jsonl = f"runs/{run}.jsonl"
+    assert os.path.exists(src_jsonl), f"missing {src_jsonl}"
+    picked = pick_exports(f"models/{run}", args.exports)
+    assert picked, f"no exports under models/{run}"
     latest = ckpts[-1]
     it = os.path.basename(latest)
-    dst_ckpt = f"evidence/ckpt_{run}/{it}"
-    if os.path.exists(os.path.dirname(dst_ckpt)):
-        shutil.rmtree(os.path.dirname(dst_ckpt))
-    shutil.copytree(latest, dst_ckpt)
-    print(f"checkpoint iter {it} -> {dst_ckpt}")
 
-    exp_dir = f"evidence/exports_{run}"
-    if os.path.exists(exp_dir):
-        shutil.rmtree(exp_dir)
+    staging = f"evidence/.staging_{run}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+
+    shutil.copytree(latest, f"{staging}/ckpt_{run}/{it}")
+    print(f"checkpoint iter {it} staged")
+
+    exp_dir = f"{staging}/exports_{run}"
     os.makedirs(exp_dir)
-    picked = pick_exports(f"models/{run}", args.exports)
     for p in picked:
         shutil.copy(p, exp_dir)
         sidecar = p.replace(".msgpack", ".json")
         if os.path.exists(sidecar):
             shutil.copy(sidecar, exp_dir)
-    print(f"{len(picked)} exports -> {exp_dir}")
+    print(f"{len(picked)} exports staged")
 
-    src_jsonl = f"runs/{run}.jsonl"
-    dst_jsonl = f"evidence/{run}_metrics.jsonl.gz"
-    with open(src_jsonl, "rb") as fin, gzip.open(dst_jsonl, "wb") as fout:
+    with open(src_jsonl, "rb") as fin, gzip.open(
+        f"{staging}/{run}_metrics.jsonl.gz", "wb"
+    ) as fout:
         shutil.copyfileobj(fin, fout)
-    print(f"{src_jsonl} -> {dst_jsonl}")
+    print(f"{src_jsonl} staged (gzipped)")
 
-    with open(f"evidence/ckpt_{run}/RESUME.md", "w") as f:
+    with open(f"{staging}/ckpt_{run}/RESUME.md", "w") as f:
         f.write(
             f"""# Resuming the {run} 600M-horizon recipe
 
@@ -92,9 +100,25 @@ Then refresh the evidence:
     python tools/full13_evidence.py --arch {args.arch} --games 32 \\
         --out-prefix evidence/full13_tbsw
     python tools/package_full13_continuation.py --arch {args.arch}
+
+The checkpoint is platform-portable: utils/checkpoint.restore_checkpoint
+passes orbax an abstract target with the caller's LOCAL shardings, and
+restore_checkpoint_portable restores with no template at all — a
+TPU-saved checkpoint inspects/restores fine in a CPU-only process
+(tests/test_portable_restore.py pins this against the committed
+artifact).
 """
         )
-    print(f"wrote evidence/ckpt_{run}/RESUME.md")
+
+    # Swap the staged package in: only now is the old evidence replaced.
+    for rel in (f"ckpt_{run}", f"exports_{run}", f"{run}_metrics.jsonl.gz"):
+        dst = f"evidence/{rel}"
+        if os.path.exists(dst):
+            shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        os.rename(f"{staging}/{rel}", dst)
+    os.rmdir(staging)
+    print(f"packaged: evidence/ckpt_{run}/{it}, evidence/exports_{run}, "
+          f"evidence/{run}_metrics.jsonl.gz")
 
 
 if __name__ == "__main__":
