@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .cnn import CnnActorCritic
+from .mlp import MlpActorCritic
 from .resnet import ResNetActorCritic
 from .transformer import TransformerActorCritic
 from .sgr_transformer import SGRTransformerActorCritic
@@ -84,6 +85,11 @@ ARCHITECTURE_REGISTRY: Dict[str, Callable] = {
     # 22% on the full update step — tools/attn_kernel_ablation.py).
     "transformer_b_s_w": _tfm(128, 1, 2, 128, ffn=0),
     "transformer_b_l_w": _tfm(256, 1, 4, 256, ffn=512),
+    # BASELINE configs[0]'s "tiny MLP policy" (3x3x3 / 64 envs / PPO vs
+    # random) — extension, no reference counterpart (models/mlp.py).
+    "mlp_tiny": lambda action_dim, dtype: MlpActorCritic(
+        action_dim=action_dim, dtype=dtype
+    ),
 }
 
 

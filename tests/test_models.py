@@ -55,10 +55,27 @@ def count_params(variables) -> int:
 
 def test_registry_has_all_14_names():
     # the reference's 14 names all present; extras are the documented
-    # speed-tier variants only
+    # speed-tier variants + BASELINE config-1's tiny MLP only
     assert set(ARCHITECTURE_REGISTRY) == (
-        set(EXPECTED_PARAMS_9x9) | set(SPEED_TIER_PARAMS_9x9)
+        set(EXPECTED_PARAMS_9x9) | set(SPEED_TIER_PARAMS_9x9) | {"mlp_tiny"}
     )
+
+
+def test_mlp_tiny_contract():
+    """BASELINE configs[0]'s tiny MLP: same head contract as every body
+    (masked f32 logits, Tanh-bounded value), batch-stat-free, small."""
+    module, _ = create_model_from_architecture("mlp_tiny", (2, 3, 3), 9)
+    variables = init_network(module, (2, 3, 3), jax.random.PRNGKey(0))
+    assert not jax.tree.leaves(variables.get("batch_stats", {}))
+    assert count_params(variables) < 20_000
+    logits, value = module.apply(
+        {"params": variables["params"], "batch_stats": {}},
+        jnp.zeros((4, 2, 3, 3)),
+        train=False,
+    )
+    assert logits.shape == (4, 9) and logits.dtype == jnp.float32
+    assert value.shape == (4, 1)
+    assert float(jnp.abs(value).max()) <= 1.0
 
 
 @pytest.mark.parametrize("name", sorted(SPEED_TIER_PARAMS_9x9))
