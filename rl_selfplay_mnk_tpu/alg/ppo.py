@@ -125,6 +125,15 @@ class PPOConfig:
     # OWN outcome to its pool member instead of folding the aggregate
     # iteration reward into every drawn member (round-3 VERDICT weakness 5).
     fin_blocks: int = 0
+    # Loop-structure knobs for the update's nested scans (round-4 VERDICT
+    # item 6: ~5% of the bench-shape update is loop-carry copies XLA's
+    # conservative scan buffer assignment inserts). epoch_unroll unrolls
+    # the OUTER epoch scan (trip count = epochs per chunk, so compile cost
+    # is bounded); mb_unroll > 1 unrolls the minibatch scan by that factor
+    # (must divide num_minibatches). Same math either way — scan unrolling
+    # is a scheduling choice, pinned by test_ppo unroll-equivalence.
+    epoch_unroll: bool = False
+    mb_unroll: int = 1
 
     @property
     def total_batch(self) -> int:
@@ -632,12 +641,14 @@ def _update_epochs_impl(
         params, batch_stats, opt_state, sums = carry
         idx = _minibatch_indices(config, k_epoch)
         (params, batch_stats, opt_state, sums), _ = jax.lax.scan(
-            mb_body, (params, batch_stats, opt_state, sums), idx
+            mb_body, (params, batch_stats, opt_state, sums), idx,
+            unroll=config.mb_unroll,
         )
         return (params, batch_stats, opt_state, sums), None
 
     (params, batch_stats, opt_state, sums), _ = jax.lax.scan(
-        epoch_body, (params, batch_stats, opt_state, sums), epoch_keys
+        epoch_body, (params, batch_stats, opt_state, sums), epoch_keys,
+        unroll=epoch_keys.shape[0] if config.epoch_unroll else 1,
     )
     return params, batch_stats, opt_state, sums
 

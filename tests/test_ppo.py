@@ -259,6 +259,39 @@ def test_chunked_update_matches_monolithic_bitwise():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unrolled_update_scans_match_rolled():
+    """epoch_unroll / mb_unroll are SCHEDULING knobs on the update's nested
+    scans (round-4 VERDICT item 6 loop-carry ablation) — the training math
+    must not move. Unrolling changes XLA's instruction schedule, and AdamW
+    sign-amplifies near-zero-gradient rounding flips (the ZeRO AdamW pair
+    in test_zero.py documents the same regime), so compare ONE iteration
+    (identical rollout; a second iteration's sampled actions can flip
+    discretely on drifted logits) and bound the drift."""
+    results = []
+    for kwargs in (
+        {},
+        {"epoch_unroll": True},
+        {"epoch_unroll": True, "mb_unroll": 2},
+    ):
+        learner, _, _ = _make_learner(seed=13, **kwargs)
+        rp = RandomPolicy()
+        m = learner.learn(rp.apply, rp.params, entropy_coef=0.01)
+        results.append((m, learner.params))
+    (m_a, p_a), *rest = results
+    for m_b, p_b in rest:
+        np.testing.assert_allclose(
+            m_a.actor_loss, m_b.actor_loss, rtol=5e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            m_a.grad_norm, m_b.grad_norm, rtol=5e-3, atol=1e-4
+        )
+        assert m_a.mean_reward == m_b.mean_reward  # identical rollout
+        for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-3
+            )
+
+
 def test_episode_stats_carry_across_learn_calls():
     """The in-progress episode accumulators persist across learn() calls
     (reference ppo.py:81-89 keeps self._current_ep_reward/_current_ep_len on
