@@ -755,6 +755,20 @@ def main(argv=None) -> None:
         help="league matchmaking over the opponent pool (selfplay/league.py)",
     )
     parser.add_argument(
+        "--pool-eviction",
+        choices=["fifo", "adaptive"],
+        default=None,
+        help="opponent-pool eviction once full: fifo = oldest (reference "
+        "deque semantics), adaptive = lowest-weight (README-promised "
+        "extension) — honored by both the host loop and --fused",
+    )
+    parser.add_argument(
+        "--pool-weighted",
+        action="store_true",
+        help="weighted opponent sampling: draw probability proportional to "
+        "each snapshot's validation score rate at insertion",
+    )
+    parser.add_argument(
         "--fused",
         action="store_true",
         help="device-resident iteration loop (train_fused): opponent pool, "
@@ -822,6 +836,10 @@ def main(argv=None) -> None:
         config["checkpoint_interval"] = args.checkpoint_interval
     if args.matchmaking:
         config["matchmaking"] = args.matchmaking
+    if args.pool_eviction is not None:
+        config["pool_eviction"] = args.pool_eviction
+    if args.pool_weighted:
+        config["pool_weighted"] = True
     if args.update_chunks is not None:
         config["update_chunks"] = args.update_chunks
     if args.watch_interval is not None:
