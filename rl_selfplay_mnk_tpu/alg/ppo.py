@@ -130,8 +130,9 @@ class PPOConfig:
     # conservative scan buffer assignment inserts). epoch_unroll unrolls
     # the OUTER epoch scan (trip count = epochs per chunk, so compile cost
     # is bounded); mb_unroll > 1 unrolls the minibatch scan by that factor
-    # (must divide num_minibatches). Same math either way — scan unrolling
-    # is a scheduling choice, pinned by test_ppo unroll-equivalence.
+    # (any factor — lax.scan emits a remainder epilogue when it does not
+    # divide the trip count). Same math either way — scan unrolling is a
+    # scheduling choice, pinned by test_ppo unroll-equivalence.
     epoch_unroll: bool = False
     mb_unroll: int = 1
 

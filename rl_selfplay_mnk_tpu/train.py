@@ -419,10 +419,14 @@ def train_mnk(config: Dict[str, Any], logger: Optional[MetricsLogger] = None) ->
     if config.get("resume"):
         state, step = restore_checkpoint(ckpt_dir, checkpoint_state(0))
         if state is not None:
-            # On a mesh, every restored replicated-layout array (params,
-            # optimizer, RNG key, benchmark, pool entries) must be re-placed
-            # — orbax restores to one device, and a single-device argument
-            # alongside mesh-placed ones fails jit with "incompatible
+            # restore_checkpoint hands orbax an abstract target carrying
+            # the TEMPLATE's shardings, so restored arrays normally land
+            # already mesh-placed. The rep()/shard_batched pass below is a
+            # cheap belt-and-braces no-op in that case (device_put with an
+            # unchanged sharding) and still matters when a template leaf
+            # was host-built (e.g. a pool slot padded from fresh values) or
+            # the process topology changed since the save — a single-device
+            # array next to mesh-placed ones fails jit with "incompatible
             # devices".
             if learner.mesh is not None:
                 from .parallel.mesh import replicate as _rep

@@ -18,13 +18,12 @@ import jax
 import jax.numpy as jnp
 import optax
 import pytest
-import flax.linen as nn
 
 from rl_selfplay_mnk_tpu.alg.fused import train_block, train_step_iteration
 from rl_selfplay_mnk_tpu.alg.ppo import PPOConfig, PPOLearner
 from rl_selfplay_mnk_tpu.alg.schedules import make_entropy_coef_fn
 from rl_selfplay_mnk_tpu.env import EnvConfig
-from rl_selfplay_mnk_tpu.models.common import ActorCriticHeads
+from rl_selfplay_mnk_tpu.models.mlp import MlpActorCritic
 from rl_selfplay_mnk_tpu.models.registry import make_apply_fns
 from rl_selfplay_mnk_tpu.parallel import make_mesh
 from rl_selfplay_mnk_tpu.selfplay.opponent_pool import (
@@ -35,19 +34,10 @@ from rl_selfplay_mnk_tpu.selfplay.opponent_pool import (
 from rl_selfplay_mnk_tpu.selfplay.policies import make_network_policy
 
 
-class _MLP(nn.Module):
-    """BN-free actor-critic (zero_update supports batch-stat-free archs)."""
-
-    action_dim: int
-
-    @nn.compact
-    def __call__(self, obs, train: bool = False):
-        del train
-        b = obs.shape[0]
-        x = nn.relu(nn.Dense(48)(obs.reshape(b, -1)))
-        return ActorCriticHeads(action_dim=self.action_dim, hidden=32)(
-            x[:, None, :]
-        )
+def _MLP(action_dim):
+    """BN-free actor-critic (zero_update supports batch-stat-free archs) —
+    the registry's mlp_tiny body at test widths."""
+    return MlpActorCritic(action_dim=action_dim, hidden=48, head_hidden=32)
 
 
 def _make_fused_pair(seed=3):

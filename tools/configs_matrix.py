@@ -138,9 +138,24 @@ def run_train_mnk(entry: dict, iters: int, seed: int) -> dict:
     """Configs 2-4: the production host-loop driver end-to-end (pool,
     validation cadence, promotions, exports), then the final export scored
     vs random (sweep.evaluate_vs_random — cross-comparable outcome)."""
+    import shutil
+
     from rl_selfplay_mnk_tpu.sweep import evaluate_vs_random
     from rl_selfplay_mnk_tpu.train import get_default_config, train_mnk
     from rl_selfplay_mnk_tpu.utils.metrics import MetricsLogger
+
+    # Fresh named run: the metrics JSONL appends and evaluate_vs_random
+    # picks the LATEST export, so leftovers from an earlier invocation
+    # (e.g. an --iters-scale smoke) would contaminate fps/promotions/eval.
+    for stale in (
+        os.path.join("runs", f"{entry['run_name']}.jsonl"),
+        os.path.join("models", entry["run_name"]),
+        os.path.join("checkpoints", entry["run_name"]),
+    ):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+        elif os.path.exists(stale):
+            os.remove(stale)
 
     config = get_default_config()
     config.update(

@@ -110,12 +110,23 @@ artifact).
 """
         )
 
-    # Swap the staged package in: only now is the old evidence replaced.
-    for rel in (f"ckpt_{run}", f"exports_{run}", f"{run}_metrics.jsonl.gz"):
+    # Swap the staged package in. Two rename-only phases so an interruption
+    # can never mix old and new artifacts destructively: first every old
+    # artifact moves aside into a backup dir (renames, same filesystem),
+    # then every staged artifact renames into place; only after both
+    # phases does anything get deleted.
+    rels = (f"ckpt_{run}", f"exports_{run}", f"{run}_metrics.jsonl.gz")
+    backup = f"evidence/.old_{run}"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.makedirs(backup)
+    for rel in rels:
         dst = f"evidence/{rel}"
         if os.path.exists(dst):
-            shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
-        os.rename(f"{staging}/{rel}", dst)
+            os.rename(dst, f"{backup}/{rel}")
+    for rel in rels:
+        os.rename(f"{staging}/{rel}", f"evidence/{rel}")
+    shutil.rmtree(backup)
     os.rmdir(staging)
     print(f"packaged: evidence/ckpt_{run}/{it}, evidence/exports_{run}, "
           f"evidence/{run}_metrics.jsonl.gz")
