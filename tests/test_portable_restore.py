@@ -34,13 +34,13 @@ EVIDENCE_CKPT = os.path.join(
 
 
 def test_portable_restore_of_committed_tpu_checkpoint():
-    """The TPU-saved iteration-3150 train state restores in this CPU-only
+    """The TPU-saved iteration-4350 train state restores in this CPU-only
     process: full leaf count, finite parameters, local placement."""
     state, step = restore_checkpoint_portable(EVIDENCE_CKPT)
-    assert step == 3150
+    assert step == 4350
     leaves = jax.tree.leaves(state)
     assert len(leaves) == 806
-    assert int(np.asarray(state["iteration"])) == 3150
+    assert int(np.asarray(state["iteration"])) == 4350
     params = jax.tree.leaves(state["params"])
     assert len(params) == 33
     for p in params:
